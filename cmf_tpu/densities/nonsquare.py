@@ -1,0 +1,351 @@
+"""Non-square (injective / rectangular) flow engine — the CMF core.
+
+Reference: cmf/models/components/densities/non_square.py (live code 1-424).
+This is a ground-up TPU redesign of the reference's machinery:
+
+* The decoder g: ℝᵈ→ℝᴰ and its pushforward come from ``jax.linearize`` on the
+  pure ``prior.decode`` chain — replacing the reference's side-effectful
+  ``_traverse_backward`` transform/jvp stacks (non_square.py:146-188) and the
+  entire hand-written per-layer JVP subsystem (jvp_layers.py, per-bijection
+  ``_jvp``s). ``linearize`` evaluates the primal once; the d Jacobian columns
+  are a ``vmap`` of the linear map over basis tangents — embarrassingly
+  parallel on the VPU/MXU (SURVEY.md §5 "long-context analog").
+* Exact path (non_square.py:262-311): Gram JᵀJ in fp32-HIGHEST on the MXU,
+  jittered batched Cholesky (ops/chol.py), log|JᵀJ| = 2Σlog diag L.
+* Stochastic path (non_square.py:203-258): Hutchinson probes ε (B,d,S),
+  batched CG for (JᵀJ)⁻¹ε under stop-gradient, surrogate
+  log|JᵀJ| ≈ mean_S Σ_d sg[(JᵀJ)⁻¹ε] ⊙ (JᵀJ ε) whose *gradient* matches the
+  true log-det gradient because of the stop-gradient placement
+  (non_square.py:241-256).
+* CMF metric regularisers (non_square.py:87-99): L1 of diag(JᵀJ) (g_kk) and
+  of the off-diagonal entries (g_ij). With the stochastic path the diagonal
+  uses the unbiased Hutchinson estimator mean_S ε ⊙ (JᵀJ ε); the off-diagonal
+  regulariser requires the exact Gram (the reference's hutch+g_ij combination
+  mis-shapes, see non_square.py:95-99 vs the (B,d,S) jtj it receives — we
+  assert instead).
+
+Static (Python-level) flags — each combination compiles once:
+  train, skip_likelihood (the likelihood_wt≈0 warmup fast path,
+  non_square.py:105-109), add_reconstruction, add_diag/offdiag metric reg,
+  ood. Continuous weights (likelihood_wt, metric_wt) stay traced so warmup
+  interpolation never recompiles.
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .base import Density, merge_vars, split_vars
+from ..ops import batched_cg, cholesky_logdet, gram_from_columns
+
+_VALID_METHODS = ("cholesky", "hutch_with_cg")
+
+
+class NonSquareHeadDensity(Density):
+    def __init__(
+        self,
+        prior,
+        regularization_param,
+        log_jacobian_method,
+        x_shape,
+        hutchinson_distribution="normal",
+        num_hutchinson_samples=1,
+        max_cg_iterations=None,
+        cg_tolerance=1.0,
+        latent_dimension=None,
+    ):
+        if log_jacobian_method not in _VALID_METHODS:
+            raise ValueError(f"{log_jacobian_method} not a valid Jacobian calculation method")
+        self.prior = prior
+        self.regularization_param = regularization_param
+        self.log_jacobian_method = log_jacobian_method
+        self.x_shape = tuple(x_shape)
+        self.hutchinson_distribution = hutchinson_distribution
+        self.num_hutchinson_samples = num_hutchinson_samples
+        self.max_cg_iterations = max_cg_iterations
+        self.cg_tolerance = cg_tolerance
+        self.latent_dimension = latent_dimension
+
+    def init(self, key):
+        return merge_vars(prior=self.prior.init(key))
+
+    # ---------------------------------------------------------------- decode
+    def _decode_fns(self, variables, pstate, train):
+        """Pure flat decoder using the *post-forward* state (so batch-norm
+        layers denormalise with the batch statistics the encoder just wrote,
+        matching batchnorm.py:79-84 training semantics)."""
+        pv = {"params": variables["params"]["prior"], "state": pstate}
+
+        def decode_flat(u):
+            x = self.prior.decode(pv, u, train=train)
+            return x.reshape(u.shape[0], -1)
+
+        return decode_flat
+
+    def decode(self, variables, u, train=False):
+        (pv,) = split_vars(variables, "prior")
+        return self.prior.decode(pv, u, train=train)
+
+    # ------------------------------------------------------------------ elbo
+    def elbo(
+        self,
+        variables,
+        x,
+        rng=None,
+        train=False,
+        likelihood_wt=1.0,
+        metric_wt=1.0,
+        add_reconstruction=True,
+        add_diagonal_metric_reg=False,
+        add_offdiagonal_metric_reg=False,
+        skip_likelihood=False,
+        ood=False,
+        **kw,
+    ):
+        (pv,) = split_vars(variables, "prior")
+        prior_info, pstate = self.prior.elbo(pv, x, rng=rng, train=train)
+        z = prior_info["low_dim_x"]          # (B, d)
+        low_dim_elbo = prior_info["low_dim_elbo"]  # (B,)
+
+        if ood:
+            assert self.log_jacobian_method == "cholesky" or not train
+
+        decode_flat = self._decode_fns(variables, pstate, train)
+        batch = x.shape[0]
+        x_flat = x.reshape(batch, -1)
+
+        metric_l1 = 0.0
+        if not skip_likelihood:
+            use_exact = (not train) or self.log_jacobian_method == "cholesky"
+            if use_exact:
+                log_det, recon_flat, gram = self._exact_log_det(decode_flat, z)
+                if add_diagonal_metric_reg:
+                    g_kk = jnp.diagonal(gram, axis1=-2, axis2=-1)
+                    metric_l1 = jnp.sum(jnp.abs(g_kk), axis=1)
+                elif add_offdiagonal_metric_reg:
+                    d = gram.shape[-1]
+                    off = gram * (1.0 - jnp.eye(d, dtype=gram.dtype))
+                    metric_l1 = jnp.sum(jnp.abs(off), axis=(1, 2))
+            else:
+                assert not add_offdiagonal_metric_reg, (
+                    "g_ij regularisation needs the exact Gram: use "
+                    "log_jacobian_method='cholesky'"
+                )
+                log_det, recon_flat, diag_est = self._approx_log_det(decode_flat, z, rng, train)
+                if add_diagonal_metric_reg:
+                    metric_l1 = jnp.sum(jnp.abs(diag_est), axis=1)
+            likelihood_term = low_dim_elbo - log_det / 2.0
+        else:
+            # Warmup fast path (non_square.py:105-109): no log-det at all.
+            likelihood_term = 0.0
+            recon_flat = decode_flat(z)
+
+        if add_reconstruction:
+            recon_loss = jnp.sum((recon_flat - x_flat) ** 2, axis=-1)
+        else:
+            recon_loss = 0.0
+
+        if ood:
+            info = {
+                "likelihood": likelihood_term,
+                "reconstruction-error": recon_loss,
+            }
+            return info, {"prior": pstate}
+
+        elbo = (
+            likelihood_wt * likelihood_term
+            - self.regularization_param * recon_loss
+            - metric_wt * metric_l1
+        )
+        return {"elbo": elbo}, {"prior": pstate}
+
+    # ---------------------------------------------------------- exact path
+    def _exact_log_det(self, decode_flat, z):
+        """(non_square.py:262-311) d basis-tangent pushforwards → Gram →
+        jittered Cholesky log-det."""
+        batch, d = z.shape
+        recon_flat, lin = jax.linearize(decode_flat, z)
+
+        basis = jnp.eye(d, dtype=z.dtype)
+        jac_cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
+        # jac_cols: (d, B, D)
+        gram = gram_from_columns(jac_cols)
+        log_det, _ = cholesky_logdet(gram)
+        return log_det, recon_flat, gram
+
+    # ------------------------------------------------------- stochastic path
+    def _approx_log_det(self, decode_flat, z, rng, train):
+        """(non_square.py:203-258) Hutchinson + CG surrogate."""
+        batch, d = z.shape
+        S = self.num_hutchinson_samples
+        max_iter = self.max_cg_iterations or d
+
+        if self.hutchinson_distribution == "normal":
+            eps = jax.random.normal(rng, (batch, d, S), dtype=z.dtype)
+        elif self.hutchinson_distribution == "rademacher":
+            eps = jax.random.rademacher(rng, (batch, d, S)).astype(z.dtype)
+        else:
+            raise ValueError(f"Unknown hutchinson distribution {self.hutchinson_distribution}")
+
+        recon_flat, lin = jax.linearize(decode_flat, z)
+        lin_t = jax.linear_transpose(lin, z)
+
+        def jtj_matvec(v):  # (B, d, S) -> (B, d, S)
+            v_s = jnp.moveaxis(v, -1, 0)                      # (S, B, d)
+            jv = jax.vmap(lin)(v_s)                           # (S, B, D)
+            jtjv = jax.vmap(lambda c: lin_t(c)[0])(jv)        # (S, B, d)
+            return jnp.moveaxis(jtjv, 0, -1)
+
+        # CG solve is detached (non_square.py:241-247): stop gradients both on
+        # the inputs to the iteration and on the result.
+        jtj_inv_eps = jax.lax.stop_gradient(
+            batched_cg(
+                lambda v: jtj_matvec(v),
+                jax.lax.stop_gradient(eps),
+                max_iter=max_iter,
+                tolerance=self.cg_tolerance,
+            )
+        )
+
+        jtj_eps = jtj_matvec(eps)  # gradient flows through this factor
+        # Surrogate whose gradient equals ∇ log|JᵀJ| (non_square.py:249-258).
+        approx_log_det = jnp.mean(jnp.sum(jtj_inv_eps * jtj_eps, axis=1), axis=-1)
+
+        # Unbiased Hutchinson estimate of diag(JᵀJ) for the g_kk regulariser.
+        diag_est = jnp.mean(eps * jtj_eps, axis=-1)  # (B, d)
+        return approx_log_det, recon_flat, diag_est
+
+    # ------------------------------------------------------------- sampling
+    def sample(self, variables, rng, num_samples):
+        (pv,) = split_vars(variables, "prior")
+        return self.prior.sample(pv, rng, num_samples)
+
+    def fixed_sample(self, variables, noise=None):
+        (pv,) = split_vars(variables, "prior")
+        return self.prior.fixed_sample(pv, noise=noise)
+
+    def extract_latent(self, variables, x, earliest=False):
+        (pv,) = split_vars(variables, "prior")
+        prior_info, _ = self.prior.elbo(pv, x, rng=None, train=False)
+        z = prior_info["low_dim_x"]
+        if earliest:
+            return self.prior.extract_latent(pv, x, earliest=True)
+        return z
+
+    def ood(self, variables, x, rng=None):
+        info, _ = self.elbo(variables, x, rng=rng, train=False, ood=True)
+        return info
+
+    def pullback_log_jac_jac_transpose(self, variables, x):
+        """log(J_enc J_encᵀ) for 1-D latents — the pullback density correction
+        used by the 2-D visualizers (non_square.py:331-338)."""
+        (pv,) = split_vars(variables, "prior")
+
+        def encode(xi):
+            info, _ = self.prior.elbo(pv, xi[None], rng=None, train=False)
+            return info["low_dim_x"][0, 0]
+
+        jac = jax.vmap(jax.grad(encode))(x)  # (B, *x_shape)
+        jac = jac.reshape(x.shape[0], -1)
+        return jnp.log(jnp.sum(jac * jac, axis=1))
+
+
+class ManifoldFlowHeadDensity(NonSquareHeadDensity):
+    """M-flow baseline head (non_square.py:341-364): during training the
+    log-det is skipped entirely (likelihood on the detached latent only);
+    exact log-det still runs at eval/visualisation time."""
+
+    def elbo(self, variables, x, rng=None, train=False, skip_likelihood=False, **kw):
+        if train and not kw.get("ood", False):
+            # No log-det during training: likelihood term is just the (already
+            # detached, see NonSquareTailDensity) low-dim prior elbo.
+            return self._mflow_train_elbo(variables, x, rng=rng, skip_likelihood=skip_likelihood, **kw)
+        return super().elbo(variables, x, rng=rng, train=train, skip_likelihood=skip_likelihood, **kw)
+
+    def _mflow_train_elbo(
+        self,
+        variables,
+        x,
+        rng=None,
+        likelihood_wt=1.0,
+        metric_wt=1.0,
+        add_reconstruction=True,
+        add_diagonal_metric_reg=False,
+        add_offdiagonal_metric_reg=False,
+        skip_likelihood=False,
+        **kw,
+    ):
+        (pv,) = split_vars(variables, "prior")
+        prior_info, pstate = self.prior.elbo(pv, x, rng=rng, train=True)
+        z = prior_info["low_dim_x"]
+        decode_flat = self._decode_fns(variables, pstate, True)
+        recon_flat = decode_flat(z)
+        likelihood_term = 0.0 if skip_likelihood else prior_info["low_dim_elbo"]
+        if add_reconstruction:
+            recon_loss = jnp.sum((recon_flat - x.reshape(x.shape[0], -1)) ** 2, axis=-1)
+        else:
+            recon_loss = 0.0
+        elbo = likelihood_wt * likelihood_term - self.regularization_param * recon_loss
+        return {"elbo": elbo}, {"prior": pstate}
+
+
+class NonSquareTailDensity(Density):
+    """Projection to the first d (permuted) coordinates + low-dim prior
+    (non_square.py:367-421). The random permutation is seeded state."""
+
+    def __init__(self, prior, x_shape, latent_dimension, detach_before_prior):
+        self.prior = prior
+        self.x_shape = tuple(x_shape)
+        self.latent_dimension = latent_dimension
+        self.detach_before_prior = detach_before_prior
+        self.flattened_dims = 1
+        for s in x_shape:
+            self.flattened_dims *= s
+
+    def init(self, key):
+        k1, k2 = jax.random.split(key)
+        v = merge_vars(prior=self.prior.init(k1))
+        perm = jax.random.permutation(k2, self.flattened_dims)
+        v["state"]["permutation"] = perm
+        v["state"]["inverse_permutation"] = jnp.argsort(perm)
+        return v
+
+    def elbo(self, variables, x, rng=None, train=False, **kw):
+        (pv,) = split_vars(variables, "prior")
+        s = variables["state"]
+        flat = x.reshape(x.shape[0], -1)
+        permuted = flat[:, s["permutation"]]
+        low_dim_x = permuted[:, : self.latent_dimension]
+        prior_in = jax.lax.stop_gradient(low_dim_x) if self.detach_before_prior else low_dim_x
+        prior_info, pstate = self.prior.elbo(pv, prior_in, rng=rng, train=train, **kw)
+        new_state = dict(s)
+        new_state["prior"] = pstate
+        return {
+            "elbo": prior_info["elbo"],
+            "low_dim_x": low_dim_x,
+            "low_dim_elbo": prior_info["elbo"],
+        }, new_state
+
+    def low_dim_to_masked(self, variables, low_dim_x):
+        """Zero-pad to D, inverse-permute, reshape (non_square.py:397-404)."""
+        batch = low_dim_x.shape[0]
+        padded = jnp.zeros((batch, self.flattened_dims), low_dim_x.dtype)
+        padded = padded.at[:, : self.latent_dimension].set(low_dim_x)
+        masked = padded[:, variables["state"]["inverse_permutation"]]
+        return masked.reshape(batch, *self.x_shape)
+
+    def decode(self, variables, u, train=False):
+        return self.low_dim_to_masked(variables, u)
+
+    def sample(self, variables, rng, num_samples):
+        (pv,) = split_vars(variables, "prior")
+        z = self.prior.sample(pv, rng, num_samples)
+        return self.low_dim_to_masked(variables, z)
+
+    def fixed_sample(self, variables, noise=None):
+        (pv,) = split_vars(variables, "prior")
+        z = self.prior.fixed_sample(pv, noise=noise)
+        return self.low_dim_to_masked(variables, z)
+
+    def extract_latent(self, variables, x, earliest=False):
+        (pv,) = split_vars(variables, "prior")
+        return self.prior.extract_latent(pv, x, earliest=earliest)

@@ -1,0 +1,221 @@
+"""Non-square engine tests (SURVEY.md §4b):
+* exact Cholesky log-det vs brute-force slogdet(JᵀJ) via autodiff Jacobian;
+* Hutchinson+CG estimator agreement on fixed maps;
+* surrogate gradient vs exact-path gradient on small dims;
+* encoder/decoder consistency and sampling shapes.
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
+import numpy as np
+import pytest
+
+from cmf_tpu.bijections import AlternatingChannelwiseCouplingBijection, BatchNormBijection
+from cmf_tpu.couplers import ChunkedSharedCoupler
+from cmf_tpu.densities import (
+    BijectionDensity,
+    DiagonalGaussianDensity,
+    NonSquareHeadDensity,
+    ManifoldFlowHeadDensity,
+    NonSquareTailDensity,
+)
+from cmf_tpu.nets import MLP
+
+
+def build_nonsquare(D=4, d=2, method="cholesky", m_flow=False, num_hutch=2, key=None):
+    """Tiny flat-realnvp-over-tail stack mirroring the 2-D config shape
+    (two_d.py:268-310 → flat-realnvp + affine prior semantics)."""
+
+    def coupler_factory(n_pass):
+        return ChunkedSharedCoupler(MLP(n_pass, [8, 8], 2 * (D - n_pass), jnp.tanh))
+
+    flow = BijectionDensity(
+        bijection=AlternatingChannelwiseCouplingBijection(
+            (D,), coupler_factory, reverse_mask=False
+        ),
+        prior=BijectionDensity(
+            bijection=AlternatingChannelwiseCouplingBijection(
+                (D,), coupler_factory, reverse_mask=True
+            ),
+            prior=NonSquareTailDensity(
+                prior=DiagonalGaussianDensity((d,), num_fixed_samples=8),
+                x_shape=(D,),
+                latent_dimension=d,
+                detach_before_prior=m_flow,
+            ),
+        ),
+    )
+    Head = ManifoldFlowHeadDensity if m_flow else NonSquareHeadDensity
+    head = Head(
+        prior=flow,
+        regularization_param=1.0,
+        log_jacobian_method=method,
+        x_shape=(D,),
+        hutchinson_distribution="normal",
+        num_hutchinson_samples=num_hutch,
+        max_cg_iterations=d,
+        cg_tolerance=1e-6,
+        latent_dimension=d,
+    )
+    variables = head.init(key if key is not None else jax.random.PRNGKey(0))
+    return head, variables
+
+
+def brute_force_logdet(head, variables, x):
+    """log|JᵀJ| from the full autodiff Jacobian of the decode chain."""
+    (pv,) = ({"params": variables["params"]["prior"], "state": variables["state"]["prior"]},)
+    prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=False)
+    z = prior_info["low_dim_x"]
+    pv_new = {"params": pv["params"], "state": pstate}
+
+    def decode_one(zi):
+        return head.prior.decode(pv_new, zi[None], train=False).reshape(-1)
+
+    out = []
+    for i in range(z.shape[0]):
+        J = np.asarray(jax.jacfwd(decode_one)(z[i]))
+        out.append(np.linalg.slogdet(J.T @ J)[1])
+    return np.asarray(out), np.asarray(z)
+
+
+def test_exact_logdet_vs_brute_force(rng):
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 7), (3, 4))
+    expected, _ = brute_force_logdet(head, variables, x)
+
+    (pv,) = ({"params": variables["params"]["prior"], "state": variables["state"]["prior"]},)
+    prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=False)
+    decode_flat = head._decode_fns(variables, pstate, False)
+    log_det, recon, gram = head._exact_log_det(decode_flat, prior_info["low_dim_x"])
+    np.testing.assert_allclose(np.asarray(log_det), expected, rtol=1e-3, atol=1e-3)
+
+    # Reconstruction through decode must invert the encoder (injective flows
+    # reconstruct exactly on-manifold points of the zero-padded latent... here
+    # we only check shape and finiteness; exactness holds only on the manifold)
+    assert recon.shape == (3, 4)
+    assert np.all(np.isfinite(np.asarray(recon)))
+
+
+def test_elbo_runs_and_matches_manual_combination(rng):
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 3), (5, 4))
+    info, _ = head.elbo(variables, x, rng=jax.random.fold_in(rng, 4), train=True)
+    assert info["elbo"].shape == (5,)
+    assert np.all(np.isfinite(np.asarray(info["elbo"])))
+
+    # OOD mode returns the two features (non_square.py:119-124)
+    ood, _ = head.elbo(variables, x, train=False, ood=True)
+    assert set(ood) == {"likelihood", "reconstruction-error"}
+
+
+def test_hutchinson_cg_close_to_exact_value(rng):
+    """With tight CG tolerance and many probes the surrogate's *value* is the
+    Hutchinson estimate of tr[(JᵀJ)⁻¹(JᵀJ)] = d ... its gradient is what
+    matters; sanity-check the value within MC error on a fixed map."""
+    head, variables = build_nonsquare(D=4, d=2, method="hutch_with_cg", num_hutch=64, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 9), (2, 4))
+    (pv,) = ({"params": variables["params"]["prior"], "state": variables["state"]["prior"]},)
+    prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=False)
+    decode_flat = head._decode_fns(variables, pstate, False)
+    approx, _, _ = head._approx_log_det(
+        decode_flat, prior_info["low_dim_x"], jax.random.fold_in(rng, 11), True
+    )
+    # Surrogate value ≈ tr[(JᵀJ)⁻¹ JᵀJ] = d exactly (per-sample), independent
+    # of J — this is the stop-gradient construction (non_square.py:249-258).
+    np.testing.assert_allclose(np.asarray(approx), 2.0, rtol=0.2)
+
+
+def test_surrogate_gradient_matches_exact(rng):
+    """∇_params of the surrogate must match ∇_params of the exact log-det
+    (non_square.py:241-258; SURVEY.md §7 'surrogate gradient correctness')."""
+    head_e, variables = build_nonsquare(D=4, d=2, method="cholesky", key=rng)
+    head_h, _ = build_nonsquare(D=4, d=2, method="hutch_with_cg", num_hutch=400, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 13), (2, 4))
+
+    def logdet_loss(params, head, method_rng, exact):
+        v = {"params": params, "state": variables["state"]}
+        (pv,) = ({"params": params["prior"], "state": variables["state"]["prior"]},)
+        prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=True)
+        decode_flat = head._decode_fns(v, pstate, True)
+        if exact:
+            ld, _, _ = head._exact_log_det(decode_flat, prior_info["low_dim_x"])
+        else:
+            ld, _, _ = head._approx_log_det(
+                decode_flat, prior_info["low_dim_x"], method_rng, True
+            )
+        return jnp.sum(ld)
+
+    g_exact = jax.grad(lambda p: logdet_loss(p, head_e, None, True))(variables["params"])
+    g_approx = jax.grad(
+        lambda p: logdet_loss(p, head_h, jax.random.fold_in(rng, 17), False)
+    )(variables["params"])
+
+    flat_e, _ = ravel_pytree(g_exact)
+    flat_h, _ = ravel_pytree(g_approx)
+    # MC estimator with 400 probes: compare direction and magnitude loosely.
+    cos = jnp.dot(flat_e, flat_h) / (jnp.linalg.norm(flat_e) * jnp.linalg.norm(flat_h))
+    assert float(cos) > 0.95, f"cosine similarity {float(cos)}"
+    ratio = float(jnp.linalg.norm(flat_h) / jnp.linalg.norm(flat_e))
+    assert 0.7 < ratio < 1.3, f"norm ratio {ratio}"
+
+
+def test_sampling_decodes_through_chain(rng):
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    xs = head.sample(variables, rng, 16)
+    assert xs.shape == (16, 4)
+    fixed = head.fixed_sample(variables)
+    assert fixed.shape == (8, 4)
+    z = head.extract_latent(variables, xs)
+    assert z.shape == (16, 2)
+
+
+def test_mflow_train_elbo_skips_logdet(rng):
+    head, variables = build_nonsquare(D=4, d=2, m_flow=True, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 23), (3, 4))
+    info, _ = head.elbo(variables, x, rng=jax.random.fold_in(rng, 29), train=True)
+    assert np.all(np.isfinite(np.asarray(info["elbo"])))
+    # Eval path still computes the exact log-det:
+    info_eval, _ = head.elbo(variables, x, train=False)
+    assert np.all(np.isfinite(np.asarray(info_eval["elbo"])))
+
+
+def test_metric_regularizers(rng):
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 31), (3, 4))
+    base, _ = head.elbo(variables, x, train=True)
+    gkk, _ = head.elbo(variables, x, train=True, add_diagonal_metric_reg=True, metric_wt=1.0)
+    gij, _ = head.elbo(variables, x, train=True, add_offdiagonal_metric_reg=True, metric_wt=1.0)
+    # Metric terms strictly reduce the objective when weights are positive.
+    assert np.all(np.asarray(gkk["elbo"]) < np.asarray(base["elbo"]))
+    assert np.all(np.asarray(gij["elbo"]) <= np.asarray(base["elbo"]) + 1e-6)
+
+
+def test_batchnorm_in_decode_path(rng):
+    """With a batch-norm layer in the x-space stack, the decoder replay must
+    use the batch statistics written by the encoder forward (the
+    train-mode contract, batchnorm.py:79-84)."""
+
+    D, d = 4, 2
+
+    def coupler_factory(n_pass):
+        return ChunkedSharedCoupler(MLP(n_pass, [8], 2 * (D - n_pass), jnp.tanh))
+
+    flow = BijectionDensity(
+        bijection=AlternatingChannelwiseCouplingBijection((D,), coupler_factory, reverse_mask=False),
+        prior=BijectionDensity(
+            bijection=BatchNormBijection((D,), per_channel=False, apply_affine=True, momentum=0.1),
+            prior=NonSquareTailDensity(
+                prior=DiagonalGaussianDensity((d,)),
+                x_shape=(D,), latent_dimension=d, detach_before_prior=False,
+            ),
+        ),
+    )
+    head = NonSquareHeadDensity(
+        prior=flow, regularization_param=1.0, log_jacobian_method="cholesky",
+        x_shape=(D,), latent_dimension=d,
+    )
+    variables = head.init(rng)
+    x = jax.random.normal(jax.random.fold_in(rng, 37), (16, D)) * 2 + 1
+    info, _ = head.elbo(variables, x, train=True)
+    assert np.all(np.isfinite(np.asarray(info["elbo"])))

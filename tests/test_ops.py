@@ -1,0 +1,69 @@
+"""Tests for the TPU math kernels: batched CG, jittered Cholesky, Gram."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmf_tpu.ops import batched_cg, cholesky_logdet, gram_from_columns, jittered_cholesky
+
+
+def _random_spd(rng, batch, d, cond=10.0):
+    a = jax.random.normal(rng, (batch, d, d))
+    return jnp.einsum("bij,bkj->bik", a, a) + jnp.eye(d) * (1.0 / cond)
+
+
+def test_batched_cg_solves(rng):
+    A = _random_spd(rng, 4, 8)
+    x_true = jax.random.normal(jax.random.fold_in(rng, 1), (4, 8, 3))
+    rhs = jnp.einsum("bij,bjs->bis", A, x_true)
+    x = batched_cg(lambda v: jnp.einsum("bij,bjs->bis", A, v), rhs, max_iter=64, tolerance=1e-6)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), rtol=1e-2, atol=1e-2)
+
+
+def test_batched_cg_exact_in_d_iters(rng):
+    """CG on an SPD system converges within d iterations in exact arithmetic
+    (the reference clamps max_iter to the latent dim, factory.py:124-130)."""
+    d = 6
+    A = _random_spd(rng, 2, d, cond=3.0)
+    x_true = jax.random.normal(jax.random.fold_in(rng, 2), (2, d, 1))
+    rhs = jnp.einsum("bij,bjs->bis", A, x_true)
+    x = batched_cg(lambda v: jnp.einsum("bij,bjs->bis", A, v), rhs, max_iter=d + 2, tolerance=1e-30)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), rtol=5e-2, atol=5e-2)
+
+
+def test_jittered_cholesky_spd(rng):
+    A = _random_spd(rng, 3, 5)
+    L, jitter = jittered_cholesky(A)
+    np.testing.assert_allclose(float(jitter), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(jnp.einsum("bij,bkj->bik", L, L)), np.asarray(A), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_jittered_cholesky_rescues_singular(rng):
+    """A singular Gram must get escalating jitter rather than NaNs
+    (non_square.py:263-291)."""
+    d = 4
+    a = jax.random.normal(rng, (2, d, 2))  # rank 2 < d
+    A = jnp.einsum("bir,bjr->bij", a, a)
+    L, jitter = jittered_cholesky(A)
+    assert float(jitter) > 0
+    assert np.all(np.isfinite(np.asarray(L)))
+    ld, _ = cholesky_logdet(A)
+    assert np.all(np.isfinite(np.asarray(ld)))
+
+
+def test_cholesky_logdet_matches_slogdet(rng):
+    A = _random_spd(rng, 3, 6)
+    ld, _ = cholesky_logdet(A)
+    expected = np.linalg.slogdet(np.asarray(A))[1]
+    np.testing.assert_allclose(np.asarray(ld), expected, rtol=1e-4)
+
+
+def test_gram_from_columns(rng):
+    d, B, D = 3, 4, 10
+    cols = jax.random.normal(rng, (d, B, D))
+    gram = gram_from_columns(cols)
+    J = np.moveaxis(np.asarray(cols), 0, 2)  # (B, D, d)
+    expected = np.einsum("bDi,bDj->bij", J, J)
+    np.testing.assert_allclose(np.asarray(gram), expected, rtol=1e-5, atol=1e-5)
