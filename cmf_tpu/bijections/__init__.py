@@ -31,6 +31,12 @@ from .linear import (
 )
 from .made import MADEBijection
 from .planar import PlanarBijection, ConditionalPlanarBijection
+from .spline import (
+    CoupledRationalQuadraticSplineBijection,
+    AutoregressiveRationalQuadraticSplineBijection,
+)
+from .bnaf import BlockNeuralAutoregressiveBijection
+from .sos import SumOfSquaresPolynomialBijection
 
 __all__ = [
     "Bijection",
@@ -58,4 +64,8 @@ __all__ = [
     "MADEBijection",
     "PlanarBijection",
     "ConditionalPlanarBijection",
+    "CoupledRationalQuadraticSplineBijection",
+    "AutoregressiveRationalQuadraticSplineBijection",
+    "BlockNeuralAutoregressiveBijection",
+    "SumOfSquaresPolynomialBijection",
 ]
