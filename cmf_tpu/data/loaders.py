@@ -1,0 +1,91 @@
+"""Dataset routing and device-resident batch loaders.
+
+Contract: reference cmf/datasets/loaders.py:21-54 + supervised_dataset.py —
+datasets are fully materialised on device (the reference `.to(device)`s whole
+tensors and uses num_workers=0), the train loader shuffles and drops the last
+partial batch. TPU-native twist: batches can carry a ``NamedSharding`` so each
+step's input lands pre-sharded over the data mesh axis
+(replacing DataParallel scatter, SURVEY.md §2.18).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .two_d import get_2d_datasets, _GENERATORS as _TWO_D_GENERATORS
+from .tabular import get_tabular_datasets, DATASET_SHAPES as TABULAR_SHAPES
+from .image import get_image_datasets, DATASET_SHAPES as IMAGE_SHAPES
+
+
+class ArrayLoader:
+    """Iterates minibatches of a device-resident array.
+
+    shuffle+drop_last for training (loaders.py:45); sequential full coverage
+    for eval. Batches are placed with ``sharding`` when given.
+    """
+
+    def __init__(self, x, batch_size, shuffle=False, drop_last=False, seed=0, sharding=None):
+        self.x = x
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self._epoch = 0
+        self._seed = seed
+        self.sharding = sharding
+
+    @property
+    def num_examples(self):
+        return self.x.shape[0]
+
+    @property
+    def x_shape(self):
+        return self.x.shape[1:]
+
+    def __len__(self):
+        n = self.num_examples
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = self.num_examples
+        if self.shuffle:
+            rng = np.random.default_rng((self._seed, self._epoch))
+            order = rng.permutation(n)
+            self._epoch += 1
+        else:
+            order = np.arange(n)
+        nb = len(self)
+        for b in range(nb):
+            idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+            batch = jnp.asarray(self.x[idx])
+            if self.sharding is not None and batch.shape[0] % self.sharding.mesh.size == 0:
+                batch = jax.device_put(batch, self.sharding)
+            yield batch
+
+
+def get_loaders(dataset, config, seed=0, sharding=None, synthetic=None, data_root=None):
+    """name → (train_loader, valid_loader, test_loader) (loaders.py:21-54)."""
+    if dataset in _TWO_D_GENERATORS:
+        train_x, valid_x, test_x = get_2d_datasets(dataset, seed=seed)
+    elif dataset in TABULAR_SHAPES:
+        train_x, valid_x, test_x = get_tabular_datasets(
+            dataset, data_root=data_root, synthetic=synthetic, seed=seed
+        )
+    elif dataset in IMAGE_SHAPES:
+        (train_x, _), (valid_x, _), (test_x, _) = get_image_datasets(
+            dataset, data_root=data_root, synthetic=synthetic, seed=seed
+        )
+        train_x = train_x.astype(np.float32)
+        valid_x = valid_x.astype(np.float32)
+        test_x = test_x.astype(np.float32)
+    else:
+        raise AssertionError(f"Unknown dataset `{dataset}'")
+
+    train_loader = ArrayLoader(
+        train_x, config["train_batch_size"], shuffle=True, drop_last=True,
+        seed=seed, sharding=sharding,
+    )
+    valid_loader = ArrayLoader(valid_x, config["valid_batch_size"], sharding=sharding)
+    test_loader = ArrayLoader(test_x, config["test_batch_size"], sharding=sharding)
+    return train_loader, valid_loader, test_loader
