@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Benchmark: non-square CMF training throughput (samples/s/chip).
+
+Runs the miniboone-shaped non-square config (latent_dimension=21, exact
+Cholesky JᵀJ log-det — the hot path of SURVEY.md §3.2) on the available
+accelerator with synthetic data, and prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md) — vs_baseline
+compares against a stored first-measurement anchor when present.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cmf_tpu.config import expand_grid, get_config, get_schema
+    from cmf_tpu.models import get_density
+
+    config = get_config("miniboone", "non-square", use_baseline=False)
+    config = expand_grid(config)[0]
+    config["seed"] = 0
+    # Full miniboone non-square geometry (tabular.py:280-354): D=43, d=21,
+    # batch 400, 10 coupling layers + 5-layer realnvp prior, cholesky.
+    batch = config["train_batch_size"] = 400
+    dim = 43
+
+    density = get_density(get_schema(config), x_shape=(dim,))
+    variables = density.init(jax.random.PRNGKey(0))
+    opt = optax.adam(config["lr"])
+    opt_state = opt.init(variables["params"])
+
+    @jax.jit
+    def train_step(params, state, opt_state, x, rng):
+        def loss_fn(p):
+            info, new_state = density.elbo(
+                {"params": p, "state": state}, x, rng=rng, train=True,
+                likelihood_wt=1.0, add_reconstruction=True,
+            )
+            return -jnp.mean(info["elbo"]), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+    params, state = variables["params"], variables["state"]
+    key = jax.random.PRNGKey(1)
+
+    # Warmup / compile
+    params, state, opt_state, loss = train_step(params, state, opt_state, x, key)
+    jax.block_until_ready(loss)
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        params, state, opt_state, loss = train_step(
+            params, state, opt_state, x, jax.random.fold_in(key, i)
+        )
+    jax.block_until_ready(loss)
+    elapsed = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    samples_per_s_per_chip = batch * n_steps / elapsed / n_chips
+
+    anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
+    vs_baseline = None
+    try:
+        with open(anchor_path) as f:
+            anchor = json.load(f)
+        if anchor.get("device_kind") == jax.devices()[0].device_kind:
+            vs_baseline = samples_per_s_per_chip / anchor["value"]
+    except FileNotFoundError:
+        pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "miniboone non-square train throughput (cholesky logdet d=21, batch 400)",
+                "value": round(samples_per_s_per_chip, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+            }
+        )
+    )
+    return samples_per_s_per_chip
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Fréchet distance evaluation ("FID" / FID-like metric).
+
+Contract: reference cmf/metrics.py:40-200 —
+* reference statistics from the train loader (test loader with --test-fid);
+* tabular datasets use RAW FEATURES (metrics.py:67-70) — the paper's
+  "FID-like metric";
+* images use InceptionV3 pool3 activations (eval/inception.py, pluggable);
+* model samples are streamed in test-batch-size chunks (SampleLoader,
+  metrics.py:40-61);
+* Fréchet distance via scipy sqrtm with eps-jitter fallback on singular
+  products (metrics.py:146-200).
+
+TPU shape: mean/cov accumulation happens on device in fp32 (one pass,
+E[x], E[xxᵀ]); only the final d×d sqrtm runs on host.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def activation_statistics(batches_iter, feature_fn=None):
+    """Streaming mean/cov over batches. feature_fn maps a batch to (B, d)
+    features (identity = raw features for tabular)."""
+    n = 0
+    s1 = None
+    s2 = None
+    for batch in batches_iter:
+        feats = batch if feature_fn is None else feature_fn(batch)
+        feats = feats.reshape(feats.shape[0], -1).astype(jnp.float32)
+        b1 = jnp.sum(feats, axis=0)
+        b2 = jnp.einsum("bi,bj->ij", feats, feats, precision=jax.lax.Precision.HIGHEST)
+        s1 = b1 if s1 is None else s1 + b1
+        s2 = b2 if s2 is None else s2 + b2
+        n += feats.shape[0]
+    mu = s1 / n
+    # Unbiased covariance (np.cov default ddof=1, as the reference uses)
+    cov = (s2 - n * jnp.outer(mu, mu)) / (n - 1)
+    return np.asarray(mu), np.asarray(cov)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """(metrics.py:146-200) d² = |μ₁−μ₂|² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^½)."""
+    from scipy import linalg
+
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            m = np.max(np.abs(covmean.imag))
+            raise ValueError(f"Imaginary component {m}")
+        covmean = covmean.real
+    return float(
+        diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
+    )
+
+
+def sample_batches(density, variables, rng, num_samples, batch_size):
+    """Stream model samples in chunks (SampleLoader, metrics.py:40-61)."""
+    remaining = num_samples
+    while remaining > 0:
+        n = min(batch_size, remaining)
+        rng, sub = jax.random.split(rng)
+        yield density.sample(variables, sub, n)
+        remaining -= n
+
+
+def get_fid_function(config, reference_loader, feature_fn=None):
+    """Precompute reference stats; return fid(density, variables, rng).
+
+    feature_fn=None ⇒ raw features (tabular). For images pass the Inception
+    feature function (eval/inception.py).
+    """
+    ref_mu, ref_cov = activation_statistics(iter(reference_loader), feature_fn)
+    num_samples = config["num_fid_samples"]
+    batch_size = config["test_batch_size"]
+
+    def fid(density, variables, rng):
+        mu, cov = activation_statistics(
+            sample_batches(density, variables, rng, num_samples, batch_size),
+            feature_fn,
+        )
+        return frechet_distance(ref_mu, ref_cov, mu, cov)
+
+    return fid

@@ -1,0 +1,153 @@
+"""Visualizers — density/manifold diagnostic plots at test epochs.
+
+Contract: reference cmf/visualizer.py (14 classes, selection logic at
+experiment.py:403-501). This module carries the core set; the metric-analysis
+battery (ImageMetricDensityVisualizer internals) lives in viz/metric_analysis.
+
+All visualizers are pure observers: ``visualize(density, variables, epoch,
+write_folder=None)`` renders figures to the writer (and optionally a folder).
+Matplotlib uses the Agg backend — no display server on TPU hosts.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+
+class DummyDensityVisualizer:
+    def __init__(self, writer=None):
+        self._writer = writer
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        return
+
+
+class ImageDensityVisualizer:
+    """Sample grids at test epochs (visualizer.py:49-74)."""
+
+    def __init__(self, writer, num_fixed_samples=64):
+        self._writer = writer
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        imgs = np.asarray(density.fixed_sample(variables))
+        imgs = np.clip(imgs, 0.0, 256.0) / 256.0
+        n = int(np.floor(np.sqrt(imgs.shape[0])))
+        imgs = imgs[: n * n]
+        c, h, w = imgs.shape[1:]
+        grid = imgs.reshape(n, n, c, h, w).transpose(2, 0, 3, 1, 4).reshape(c, n * h, n * w)
+        self._writer.write_image("samples", grid, global_step=epoch)
+        fig, ax = plt.subplots(figsize=(6, 6))
+        ax.imshow(np.moveaxis(grid, 0, 2).squeeze(), cmap="gray" if c == 1 else None)
+        ax.axis("off")
+        self._writer.write_figure(f"samples_epoch{epoch}", fig, global_step=epoch)
+        plt.close(fig)
+
+
+class TwoDimensionalDensityVisualizer:
+    """Contour of exp(log p) on a grid over the data range
+    (visualizer.py:1418-1461)."""
+
+    _GRID_SIZE = 100
+    _NUM_TRAIN_POINTS = 500
+
+    def __init__(self, writer, train_data, num_elbo_samples=10):
+        self._writer = writer
+        self._x = np.asarray(train_data)
+        self._num_elbo_samples = num_elbo_samples
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        from ..eval.metrics import metrics
+
+        x1 = np.linspace(self._x[:, 0].min(), self._x[:, 0].max(), self._GRID_SIZE)
+        x2 = np.linspace(self._x[:, 1].min(), self._x[:, 1].max(), self._GRID_SIZE)
+        g1, g2 = np.meshgrid(x1, x2)
+        grid = jnp.asarray(np.stack([g1.reshape(-1), g2.reshape(-1)], 1), jnp.float32)
+        out = metrics(density, variables, grid, self._num_elbo_samples,
+                      rng=jax.random.PRNGKey(epoch))
+        probs = np.exp(np.asarray(out["log-prob"])).reshape(self._GRID_SIZE, self._GRID_SIZE)
+
+        fig, ax = plt.subplots(figsize=(6, 6))
+        cs = ax.contourf(g1, g2, probs, levels=50)
+        ax.scatter(self._x[: self._NUM_TRAIN_POINTS, 0], self._x[: self._NUM_TRAIN_POINTS, 1],
+                   s=2, c="white", alpha=0.5)
+        fig.colorbar(cs)
+        self._writer.write_figure(f"density_epoch{epoch}", fig, global_step=epoch)
+        if write_folder is not None:
+            fig.savefig(f"{write_folder}/density.pdf")
+        plt.close(fig)
+
+
+class TwoDimensionalNonSquareVisualizer:
+    """1-D-latent manifold visualization (visualizer.py:1464-1615): the
+    learned manifold colored by density, the pullback density along the
+    latent, and the von-Mises ground truth when applicable."""
+
+    _NUM_SWEEP = 1000
+
+    def __init__(self, writer, train_data, log_prob_low, log_prob_high, dataset=None):
+        self._writer = writer
+        self._x = np.asarray(train_data)
+        self._bounds = (log_prob_low, log_prob_high)
+        self._dataset = dataset
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        # Sweep the 1-D latent over its empirical range
+        lat = np.asarray(density.extract_latent(variables, jnp.asarray(self._x[:2000])))
+        lo, hi = np.percentile(lat[:, 0], [0.5, 99.5])
+        sweep = jnp.asarray(np.linspace(lo, hi, self._NUM_SWEEP, dtype=np.float32))[:, None]
+        curve = np.asarray(density.decode(variables, sweep))
+
+        info, _ = density.elbo(variables, jnp.asarray(curve), train=False)
+        log_probs = np.asarray(info["elbo"])
+
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        axes[0].scatter(self._x[:1000, 0], self._x[:1000, 1], s=2, c="grey", alpha=0.4)
+        sc = axes[0].scatter(
+            curve[:, 0], curve[:, 1], s=4,
+            c=np.clip(log_probs, *self._bounds) if self._bounds[0] is not None else log_probs,
+            cmap="viridis",
+        )
+        fig.colorbar(sc, ax=axes[0])
+        axes[0].set_title("manifold, colored by log-density")
+
+        # Pullback density along the latent (non_square.py:331-338)
+        try:
+            pullback = np.asarray(
+                density.pullback_log_jac_jac_transpose(variables, jnp.asarray(curve))
+            )
+            axes[1].plot(np.asarray(sweep[:, 0]), log_probs + pullback / 2.0)
+            axes[1].set_title("pullback log-density")
+        except Exception:
+            axes[1].hist(lat[:, 0], bins=50, density=True)
+            axes[1].set_title("latent histogram")
+
+        self._writer.write_figure(f"manifold_epoch{epoch}", fig, global_step=epoch)
+        if write_folder is not None:
+            fig.savefig(f"{write_folder}/density.pdf")
+        plt.close(fig)
+
+
+class ThreeDimensionalNonSquareVisualizer:
+    """3-D ambient manifolds with 1-D or 2-D latents
+    (visualizer.py:1795-2020): scatter of data vs model samples."""
+
+    def __init__(self, writer, train_data):
+        self._writer = writer
+        self._x = np.asarray(train_data)
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        samples = np.asarray(density.sample(variables, jax.random.PRNGKey(epoch), 2000))
+        fig = plt.figure(figsize=(12, 5))
+        for i, (pts, title) in enumerate([(self._x[:2000], "data"), (samples, "model")]):
+            ax = fig.add_subplot(1, 2, i + 1, projection="3d")
+            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=2, alpha=0.5)
+            ax.set_title(title)
+        self._writer.write_figure(f"manifold3d_epoch{epoch}", fig, global_step=epoch)
+        if write_folder is not None:
+            fig.savefig(f"{write_folder}/manifold3d.pdf")
+        plt.close(fig)

@@ -1,0 +1,177 @@
+"""End-to-end training tests (SURVEY.md §4e): tiny non-square runs converge,
+checkpoint/resume round-trips, m-flow alternating optimization, early
+stopping, objective schedules."""
+
+import json
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from cmf_tpu.config import expand_grid, get_config
+from cmf_tpu.training import setup_experiment, train
+from cmf_tpu.training import test_and_visualize as run_test_and_visualize
+from cmf_tpu.training.objectives import NonSquareObjective
+
+
+def small_sphere_config(tmp_path, **overrides):
+    cfg = get_config("sphere", "non-square", use_baseline=False)
+    cfg = expand_grid(cfg)[0]
+    cfg.update(
+        {
+            "seed": 0,
+            "dataset": "sphere",
+            "model": "non-square",
+            "max_epochs": 3,
+            "epochs_per_test": 100,
+            "train_batch_size": 500,
+            "valid_batch_size": 500,
+            "test_batch_size": 1000,
+            "num_density_layers": 2,
+            "coupler_hidden_channels": [8, 8],
+            "logdir_root": str(tmp_path),
+            "early_stopping": False,
+        }
+    )
+    cfg.update(overrides)
+    return cfg
+
+
+def test_nonsquare_objective_schedule():
+    obj = NonSquareObjective(
+        {
+            "m_flow": False,
+            "likelihood_warmup": True,
+            "likelihood_warmup_start": 10,
+            "likelihood_warmup_end": 20,
+            "latent_dimension": 2,
+            "g_kk_loss": False,
+            "g_ij_loss": False,
+        }
+    )
+    assert obj.for_epoch(5)["skip_likelihood"]
+    assert obj.for_epoch(15)["likelihood_wt"] == pytest.approx(0.5)
+    assert obj.for_epoch(25)["likelihood_wt"] == 1.0
+    assert obj.early_stopping_start_epoch == 20
+
+
+def test_mflow_objective_epoch_doubling():
+    obj = NonSquareObjective(
+        {
+            "m_flow": True,
+            "likelihood_warmup": True,
+            "likelihood_warmup_start": 5,
+            "likelihood_warmup_end": 10,
+            "latent_dimension": 2,
+            "g_kk_loss": False,
+            "g_ij_loss": False,
+        }
+    )
+    # engine epochs are doubled: warmup bounds ×2 (non_square_helpers.py:33-44)
+    assert obj.likelihood_introduction_epoch == 10
+    # even epochs: reconstruction objective (optimizer 0), odd: likelihood
+    f_even, f_odd = obj.for_epoch(12), obj.for_epoch(13)
+    assert f_even["add_reconstruction"] and f_even["optimizer_index"] == 0
+    assert not f_odd["add_reconstruction"] and f_odd["optimizer_index"] == 1
+    assert f_even["likelihood_wt"] == 0.0  # likelihood only on odd epochs
+    assert f_odd["likelihood_wt"] > 0
+    # pre-introduction odd epochs are skipped (trainer.py:196-201)
+    assert obj.for_epoch(9)["skip_epoch"]
+    assert not obj.for_epoch(8)["skip_epoch"]
+
+
+def test_train_loop_reduces_loss(tmp_path):
+    cfg = small_sphere_config(tmp_path, nosave=True)
+    setup = setup_experiment(cfg, write_to_disk=False)
+    trainer = setup["trainer"]
+
+    density, variables = setup["density"], trainer._variables()
+    x = jax.numpy.asarray(trainer.train_loader.x[:500])
+    info0, _ = density.elbo(variables, x, rng=jax.random.PRNGKey(1), train=False)
+    loss_before = -float(np.mean(np.asarray(info0["elbo"])))
+
+    trainer.train()
+
+    info1, _ = density.elbo(trainer._variables(), x, rng=jax.random.PRNGKey(1), train=False)
+    loss_after = -float(np.mean(np.asarray(info1["elbo"])))
+    assert loss_after < loss_before
+
+
+def test_run_dir_artifacts_and_resume(tmp_path):
+    cfg = small_sphere_config(tmp_path, max_epochs=2)
+    setup = train(cfg)
+    logdir = setup["writer"].logdir
+
+    assert os.path.exists(os.path.join(logdir, "config.json"))
+    model_json = json.load(open(os.path.join(logdir, "model.json")))
+    assert model_json["num_params"] > 0 and isinstance(model_json["schema"], list)
+    assert os.path.exists(os.path.join(logdir, "checkpoints", "latest.pkl"))
+    assert os.path.exists(os.path.join(logdir, "scalars.jsonl"))
+
+    # Resume: trainer restores epoch and continues to the new max
+    cfg2 = dict(cfg)
+    cfg2["max_epochs"] = 3
+    setup2 = setup_experiment(cfg2, resume_dir=logdir)
+    trainer2 = setup2["trainer"]
+    assert trainer2.epoch == 2
+    trainer2.train()
+    assert trainer2.epoch == 3
+
+
+def test_test_and_visualize_writes_metrics(tmp_path):
+    cfg = small_sphere_config(tmp_path, max_epochs=1)
+    setup = train(cfg)
+    logdir = setup["writer"].logdir
+    results = run_test_and_visualize(cfg, logdir)
+    assert "loss" in results
+    assert os.path.exists(os.path.join(logdir, "metrics.json"))
+    # Second call skips (no overwrite) and returns the stored values
+    results2 = run_test_and_visualize(cfg, logdir)
+    assert results2 == results
+
+
+def test_mflow_two_optimizers_train(tmp_path):
+    cfg = get_config("sphere", "non-square", use_baseline=True)
+    cfg = expand_grid(cfg)[0]
+    cfg.update(
+        {
+            "seed": 0,
+            "dataset": "sphere",
+            "model": "non-square",
+            "max_epochs": 4,
+            "epochs_per_test": 100,
+            "train_batch_size": 500,
+            "num_density_layers": 2,
+            "coupler_hidden_channels": [8, 8],
+            "early_stopping": False,
+            "nosave": True,
+            "likelihood_warmup": False,
+        }
+    )
+    assert cfg["m_flow"] is True
+    setup = setup_experiment(cfg, write_to_disk=False)
+    trainer = setup["trainer"]
+    assert trainer.num_optimizers == 2
+    p_before = jax.tree.map(np.asarray, trainer.params)
+    trainer.train()
+    # Both param groups moved across the alternating epochs
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), trainer.params, p_before
+    )
+    assert max(jax.tree.leaves(diffs)) > 0
+
+
+def test_early_stopping_terminates(tmp_path):
+    cfg = small_sphere_config(
+        tmp_path,
+        nosave=True,
+        early_stopping=True,
+        max_epochs=50,
+        max_bad_valid_epochs=1,
+        lr=0.0,  # loss can never improve → must stop early
+    )
+    setup = setup_experiment(cfg, write_to_disk=False)
+    trainer = setup["trainer"]
+    trainer.train()
+    assert trainer.epoch < 50
