@@ -41,36 +41,45 @@ def main():
     opt_state = opt.init(variables["params"])
 
     @jax.jit
-    def train_step(params, state, opt_state, x, rng):
-        def loss_fn(p):
-            info, new_state = density.elbo(
-                {"params": p, "state": state}, x, rng=rng, train=True,
-                likelihood_wt=1.0, add_reconstruction=True,
-            )
-            return -jnp.mean(info["elbo"]), new_state
+    def train_epoch(params, state, opt_state, rng, batches):
+        """Whole-epoch lax.scan — one dispatch per epoch, PRNG carried on
+        device (mirrors Trainer._get_epoch_fn)."""
 
-        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, loss
+        def body(carry, x):
+            params, state, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(batch, dim)), jnp.float32)
+            def loss_fn(p):
+                info, new_state = density.elbo(
+                    {"params": p, "state": state}, x, rng=step_rng, train=True,
+                    likelihood_wt=1.0, add_reconstruction=True,
+                )
+                return -jnp.mean(info["elbo"]), new_state
+
+            (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state, rng), loss
+
+        carry, losses = jax.lax.scan(body, (params, state, opt_state, rng), batches)
+        return carry, losses
+
+    host_rng = np.random.default_rng(0)
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+    batches = jnp.asarray(host_rng.normal(size=(n_steps, batch, dim)), jnp.float32)
     params, state = variables["params"], variables["state"]
     key = jax.random.PRNGKey(1)
 
     # Warmup / compile
-    params, state, opt_state, loss = train_step(params, state, opt_state, x, key)
-    jax.block_until_ready(loss)
+    carry, losses = train_epoch(params, state, opt_state, key, batches)
+    jax.block_until_ready(losses)
+    params, state, opt_state, key = carry
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "30"))
     t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, state, opt_state, loss = train_step(
-            params, state, opt_state, x, jax.random.fold_in(key, i)
-        )
-    jax.block_until_ready(loss)
+    carry, losses = train_epoch(params, state, opt_state, key, batches)
+    jax.block_until_ready(losses)
     elapsed = time.perf_counter() - t0
+    assert np.all(np.isfinite(np.asarray(losses)))
 
     n_chips = jax.device_count()
     samples_per_s_per_chip = batch * n_steps / elapsed / n_chips

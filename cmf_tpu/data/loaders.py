@@ -63,6 +63,26 @@ class ArrayLoader:
                 batch = jax.device_put(batch, self.sharding)
             yield batch
 
+    def epoch_batches(self):
+        """The whole (shuffled) epoch as one (num_batches, B, ...) device
+        array — feeds a ``lax.scan``-ed train epoch (one dispatch per epoch
+        instead of one per step; dispatch latency off the hot path)."""
+        n = self.num_examples
+        nb = n // self.batch_size
+        if self.shuffle:
+            rng = np.random.default_rng((self._seed, self._epoch))
+            order = rng.permutation(n)[: nb * self.batch_size]
+            self._epoch += 1
+        else:
+            order = np.arange(nb * self.batch_size)
+        stacked = jnp.asarray(self.x[order]).reshape(nb, self.batch_size, *self.x.shape[1:])
+        if self.sharding is not None and self.batch_size % self.sharding.mesh.size == 0:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            spec = PartitionSpec(None, *self.sharding.spec)
+            stacked = jax.device_put(stacked, NamedSharding(self.sharding.mesh, spec))
+        return stacked
+
 
 def get_loaders(dataset, config, seed=0, sharding=None, synthetic=None, data_root=None):
     """name → (train_loader, valid_loader, test_loader) (loaders.py:21-54)."""

@@ -120,17 +120,8 @@ class Trainer:
                 print(f"Did not find `{tag}' checkpoint.", file=sys.stderr)
 
     # ------------------------------------------------------------ train step
-    def _get_step(self, opt_index, flags):
-        key = (
-            opt_index,
-            flags["skip_likelihood"],
-            flags["add_reconstruction"],
-            flags["add_diagonal_metric_reg"],
-            flags["add_offdiagonal_metric_reg"],
-        )
-        if key in self._step_cache:
-            return self._step_cache[key]
-
+    def _make_loss_step(self, opt_index, flags):
+        """carry=(params, model_state, opt_state, rng); one optimizer step."""
         opt = self.optimizers[opt_index]
         density = self.density
         skip_likelihood = flags["skip_likelihood"]
@@ -138,13 +129,15 @@ class Trainer:
         g_kk = flags["add_diagonal_metric_reg"]
         g_ij = flags["add_offdiagonal_metric_reg"]
 
-        @partial(jax.jit, donate_argnums=(0, 2))
-        def step(params, model_state, opt_state, x, rng, likelihood_wt, metric_wt):
+        def step(carry, x, likelihood_wt, metric_wt):
+            params, model_state, opt_state, rng = carry
+            rng, step_rng = jax.random.split(rng)
+
             def loss_fn(p):
                 info, new_state = density.elbo(
                     {"params": p, "state": model_state},
                     x,
-                    rng=rng,
+                    rng=step_rng,
                     train=True,
                     likelihood_wt=likelihood_wt,
                     metric_wt=metric_wt,
@@ -159,10 +152,55 @@ class Trainer:
             grad_norm = optax.global_norm(grads)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, new_state, opt_state, loss, grad_norm
+            return (params, new_state, opt_state, rng), (loss, grad_norm)
 
-        self._step_cache[key] = step
         return step
+
+    def _flag_key(self, opt_index, flags):
+        return (
+            opt_index,
+            flags["skip_likelihood"],
+            flags["add_reconstruction"],
+            flags["add_diagonal_metric_reg"],
+            flags["add_offdiagonal_metric_reg"],
+        )
+
+    def _get_step(self, opt_index, flags):
+        key = self._flag_key(opt_index, flags)
+        if key not in self._step_cache:
+            inner = self._make_loss_step(opt_index, flags)
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def step(params, model_state, opt_state, rng, x, likelihood_wt, metric_wt):
+                carry, (loss, grad_norm) = inner(
+                    (params, model_state, opt_state, rng), x, likelihood_wt, metric_wt
+                )
+                return carry + (loss, grad_norm)
+
+            self._step_cache[key] = step
+        return self._step_cache[key]
+
+    def _get_epoch_fn(self, opt_index, flags):
+        """Whole-epoch ``lax.scan`` over the stacked batch array: ONE dispatch
+        per epoch — dispatch/PRNG host latency leaves the hot path entirely
+        (the TPU-native replacement for the reference's per-batch ignite
+        engine loop)."""
+        key = ("epoch",) + self._flag_key(opt_index, flags)
+        if key not in self._step_cache:
+            inner = self._make_loss_step(opt_index, flags)
+
+            @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+            def epoch_fn(params, model_state, opt_state, rng, batches, likelihood_wt, metric_wt):
+                def body(carry, x):
+                    return inner(carry, x, likelihood_wt, metric_wt)
+
+                carry, (losses, grad_norms) = jax.lax.scan(
+                    body, (params, model_state, opt_state, rng), batches
+                )
+                return carry + (losses, grad_norms)
+
+            self._step_cache[key] = epoch_fn
+        return self._step_cache[key]
 
     def _place(self, x):
         if self.batch_sharding is not None and x.shape[0] % self.batch_sharding.mesh.size == 0:
@@ -188,41 +226,46 @@ class Trainer:
         if flags["skip_epoch"]:
             return
         opt_index = flags["optimizer_index"]
-        step = self._get_step(opt_index, flags)
         lw = jnp.asarray(flags["likelihood_wt"], jnp.float32)
         mw = jnp.asarray(flags["metric_wt"], jnp.float32)
 
-        for x in self.train_loader:
-            self.iteration += 1
-            self.rng, step_rng = jax.random.split(self.rng)
-            (
-                self.params,
-                self.model_state,
-                self.opt_states[opt_index],
-                loss,
-                grad_norm,
-            ) = step(
-                self.params,
-                self.model_state,
-                self.opt_states[opt_index],
-                self._place(x),
-                step_rng,
-                lw,
-                mw,
-            )
+        batches = self.train_loader.epoch_batches()
+        num_batches = batches.shape[0]
+        epoch_fn = self._get_epoch_fn(opt_index, flags)
+        (
+            self.params,
+            self.model_state,
+            self.opt_states[opt_index],
+            self.rng,
+            losses,
+            grad_norms,
+        ) = epoch_fn(
+            self.params,
+            self.model_state,
+            self.opt_states[opt_index],
+            self.rng,
+            batches,
+            lw,
+            mw,
+        )
 
-            i = self.iteration
+        # Telemetry: keep the reference's every-10-steps scalar cadence by
+        # writing from the scanned per-step outputs (trainer.py:334-355).
+        losses = np.asarray(losses)
+        grad_norms = np.asarray(grad_norms)
+        for j in range(num_batches):
+            i = self.iteration + j + 1
             if i % _STEPS_PER_LOSS_WRITE == 0:
-                loss_val = float(loss)
-                self.writer.write_scalar("train/loss", loss_val, global_step=i)
-                if not np.isfinite(loss_val):
-                    raise FloatingPointError(f"NaN/Inf loss at iteration {i}")
+                self.writer.write_scalar("train/loss", float(losses[j]), global_step=i)
             if i % _STEPS_PER_GRAD_WRITE == 0:
-                self.writer.write_scalar("train/grad-norm", float(grad_norm), global_step=i)
+                self.writer.write_scalar("train/grad-norm", float(grad_norms[j]), global_step=i)
             if i % _STEPS_PER_LR_WRITE == 0:
                 self.writer.write_scalar(
                     "train/lr", float(self.lr_schedules[opt_index](i)), global_step=i
                 )
+        self.iteration += num_batches
+        if not np.all(np.isfinite(losses)):
+            raise FloatingPointError(f"NaN/Inf loss during epoch {epoch}")
 
     # ------------------------------------------------------------ evaluation
     def _variables(self):
