@@ -11,6 +11,8 @@ from .elbo import ELBODensity
 from .split import SplitDensity
 from .wrapper import WrapperDensity, DequantizationDensity, PassthroughBeforeEvalDensity
 from .nonsquare import NonSquareHeadDensity, ManifoldFlowHeadDensity, NonSquareTailDensity
+from .mixture import BijectionMixtureDensity
+from .concrete import ConcreteConditionalDensity
 
 __all__ = [
     "Density",
@@ -30,4 +32,6 @@ __all__ = [
     "NonSquareHeadDensity",
     "ManifoldFlowHeadDensity",
     "NonSquareTailDensity",
+    "BijectionMixtureDensity",
+    "ConcreteConditionalDensity",
 ]

@@ -347,5 +347,12 @@ class NonSquareTailDensity(Density):
         return self.low_dim_to_masked(variables, z)
 
     def extract_latent(self, variables, x, earliest=False):
+        # x arrives as the encoder output at the tail boundary (full ambient
+        # shape): project to the low-dim coordinates, then hand off to the
+        # latent prior (reference semantics: the head hands the tail pointer
+        # the low-dim latent directly, non_square.py:178-183).
         (pv,) = split_vars(variables, "prior")
-        return self.prior.extract_latent(pv, x, earliest=earliest)
+        s = variables["state"]
+        flat = x.reshape(x.shape[0], -1)
+        low_dim = flat[:, s["permutation"]][:, : self.latent_dimension]
+        return self.prior.extract_latent(pv, low_dim, earliest=earliest)

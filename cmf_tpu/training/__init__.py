@@ -3,7 +3,10 @@ from .experiment import (
     load_run,
     ood_classification,
     print_num_params,
+    print_model,
     print_schema,
+    visualize_two_dim_manifold,
+    metric_test_plots,
     setup_experiment,
     test_and_visualize,
     train,
@@ -14,7 +17,7 @@ from .writer import DummyWriter, Writer
 
 __all__ = [
     "train", "test_and_visualize", "setup_experiment", "load_run",
-    "generate_ood_metrics", "ood_classification", "print_schema",
+    "generate_ood_metrics", "ood_classification", "print_schema", "print_model", "visualize_two_dim_manifold", "metric_test_plots",
     "print_num_params", "Trainer", "Writer", "DummyWriter",
     "NonSquareObjective", "SquareObjective", "get_objective",
 ]

@@ -401,6 +401,88 @@ def load_run(resume_dir, sharding=None):
     }
 
 
+def visualize_two_dim_manifold(config, resume_dir, sharding=None):
+    """Decode an 8×8 grid over a 2-D latent into image space
+    (experiment.py:127-153)."""
+    assert config["dataset"] in ["mnist", "fashion-mnist"]
+    assert config["latent_dimension"] == 2
+    config = {**config, "test_metric": False, "use_fid": False}
+
+    setup = setup_experiment(
+        config, resume_dir=resume_dir, testing=True, write_to_disk=False, sharding=sharding
+    )
+    density, trainer = setup["density"], setup["trainer"]
+    variables = trainer._eval_variables()
+
+    n_grid, lo, hi = 8, -3.0, 3.0
+    xs = np.linspace(lo, hi, n_grid)
+    ys = np.linspace(hi, lo, n_grid)
+    xv, yv = np.meshgrid(xs, ys)
+    latents = jnp.asarray(
+        np.stack([xv.reshape(-1), yv.reshape(-1)], axis=1), jnp.float32
+    )
+    images = np.asarray(density.decode(variables, latents, train=False))
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    c, h, w = images.shape[1:]
+    grid_img = (
+        np.clip(images, 0, 256) / 256.0
+    ).reshape(n_grid, n_grid, c, h, w).transpose(2, 0, 3, 1, 4).reshape(c, n_grid * h, n_grid * w)
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.imshow(np.moveaxis(grid_img, 0, 2).squeeze(), cmap="gray" if c == 1 else None,
+              extent=[lo, hi, lo, hi])
+    ax.set_xlabel("$z_1$")
+    ax.set_ylabel("$z_2$")
+    fig.savefig(os.path.join(resume_dir, "two_dim_manifold.pdf"))
+    import matplotlib.pyplot as _plt
+
+    _plt.close(fig)
+
+
+def metric_test_plots(config, resume_dir, sharding=None):
+    """Run the metric-analysis visualizer battery over a trained run
+    (experiment.py:349-364)."""
+    config = {**config, "test_metric": True, "use_fid": False}
+    setup = setup_experiment(
+        config, resume_dir=resume_dir, testing=True, write_to_disk=False, sharding=sharding
+    )
+    trainer = setup["trainer"]
+    setup["visualizer"].visualize(
+        setup["density"], trainer._eval_variables(), 0, write_folder=resume_dir
+    )
+
+
+def describe_density(density, indent=0):
+    """Indented density/bijection tree description (torch's module print
+    equivalent, experiment.py:341-346)."""
+    pad = "  " * indent
+    name = type(density).__name__
+    lines = [f"{pad}{name}"]
+    for attr in ("bijection",):
+        child = getattr(density, attr, None)
+        if child is not None:
+            lines.append(f"{pad}  ({attr}): {type(child).__name__}")
+            sub = getattr(child, "bijections", None)
+            if sub:
+                for b in sub:
+                    lines.append(f"{pad}    - {type(b).__name__}")
+    for attr in ("density", "density_1", "density_2", "prior"):
+        child = getattr(density, attr, None)
+        if child is not None and hasattr(child, "elbo"):
+            lines.append(f"{pad}  ({attr}):")
+            lines.append(describe_density(child, indent + 2))
+    return "\n".join(lines)
+
+
+def print_model(config):
+    density, *_ = setup_density_and_loaders({**config, "seed": config.get("seed", 0)})
+    print(describe_density(density))
+
+
 def print_schema(config):
     print(json.dumps(get_schema(config), indent=4))
 

@@ -59,6 +59,8 @@ def build_parser():
     parser.add_argument("--test-fid", action="store_true", help="Use test dataset for FID.")
     parser.add_argument("--test-ood", action="store_true", help="Test out-of-distribution metrics.")
     parser.add_argument("--test-metric", action="store_true", help="Test metric tensor.")
+    parser.add_argument("--two-dim-manifold", action="store_true",
+                        help="Visualize the two-dim manifold for image data when d=2.")
     parser.add_argument("--synthetic-data", action="store_true",
                         help="Use shape-matched synthetic stand-ins for tabular/image data.")
     # TPU-native extensions
@@ -122,7 +124,14 @@ def main(argv=None):
 
     grid = expand_grid(config)
 
-    if args.print_num_params or args.print_model:
+    if args.print_model:
+        from cmf_tpu.training import print_model
+
+        for c in grid:
+            print_model({**c, "seed": c.get("seed", 0)})
+        should_train = False
+
+    if args.print_num_params:
         from cmf_tpu.training import print_num_params
 
         for c in grid:
@@ -145,9 +154,11 @@ def main(argv=None):
 
     from cmf_tpu.training import (
         generate_ood_metrics,
+        metric_test_plots,
         ood_classification,
         test_and_visualize,
         train,
+        visualize_two_dim_manifold,
     )
 
     sharding = get_sharding(args.mesh)
@@ -172,14 +183,13 @@ def main(argv=None):
                     overwrite=args.overwrite_metrics, test_fid=args.test_fid,
                     sharding=sharding,
                 )
+            elif args.two_dim_manifold:
+                visualize_two_dim_manifold(config=c, resume_dir=args.resume, sharding=sharding)
             elif args.test_ood:
                 generate_ood_metrics(config=c, resume_dir=args.resume, sharding=sharding)
                 ood_classification(resume_dir=args.resume)
             elif args.test_metric:
-                c = {**c, "test_metric": True}
-                test_and_visualize(
-                    config=c, resume_dir=args.resume, overwrite=True, sharding=sharding
-                )
+                metric_test_plots(config=c, resume_dir=args.resume, sharding=sharding)
             else:
                 train(config=c, resume_dir=args.resume, sharding=sharding)
 
