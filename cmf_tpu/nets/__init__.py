@@ -1,4 +1,6 @@
 from .core import (
+    compute_dtype,
+    set_compute_dtype,
     MLP,
     ConstantNetwork,
     IdentityNetwork,
@@ -9,6 +11,8 @@ from .core import (
 )
 
 __all__ = [
+    "compute_dtype",
+    "set_compute_dtype",
     "MLP",
     "ConstantNetwork",
     "IdentityNetwork",

@@ -12,9 +12,39 @@ the schema language's channel-first masks; convolutions tell XLA the layout
 via dimension_numbers and the TPU layout assigner does the rest.
 """
 
+import contextlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
+
+# Compute-precision policy for coupler-net matmuls. Params stay fp32; when the
+# policy is bfloat16, matmul operands are cast down and accumulated in fp32
+# (preferred_element_type) — the MXU's native fast path. The Gram/Cholesky
+# log-det math elsewhere always stays fp32-HIGHEST (SURVEY.md §7 "numerical
+# parity"). Read at trace time: set it before jitting a step variant.
+_COMPUTE_DTYPE = [jnp.float32]
+
+
+def set_compute_dtype(dtype):
+    _COMPUTE_DTYPE[0] = jnp.bfloat16 if str(dtype) in ("bf16", "bfloat16") else jnp.float32
+
+
+@contextlib.contextmanager
+def compute_dtype(dtype):
+    old = _COMPUTE_DTYPE[0]
+    set_compute_dtype(dtype)
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE[0] = old
+
+
+def _matmul(x, w):
+    cd = _COMPUTE_DTYPE[0]
+    if cd == jnp.float32:
+        return x @ w
+    return jnp.dot(x.astype(cd), w.astype(cd), preferred_element_type=jnp.float32)
 
 
 def get_activation(name):
@@ -49,9 +79,13 @@ def _conv_init(key, c_in, c_out, ksize, bias=True):
 
 def _conv2d(x, w, b=None, padding="SAME"):
     # x: (B, C, H, W); w: (O, I, kh, kw)
+    cd = _COMPUTE_DTYPE[0]
+    if cd != jnp.float32:
+        x, w = x.astype(cd), w.astype(cd)
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=(1, 1), padding=padding,
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=jnp.float32,
     )
     if b is not None:
         out = out + b[None, :, None, None]
@@ -103,7 +137,7 @@ class MLP:
     def apply(self, variables, x, train=False):
         layers = variables["params"]["layers"]
         for i, p in enumerate(layers):
-            x = x @ p["w"] + p["b"]
+            x = _matmul(x, p["w"]) + p["b"]
             if i < len(layers) - 1:
                 x = self.activation(x)
         return x, variables["state"]
@@ -313,7 +347,7 @@ class AutoregressiveMLP:
         masks = variables["state"]["masks"]
         out = x
         for i, (p, m) in enumerate(zip(layers, masks)):
-            out = out @ (p["w"] * m) + p["b"]
+            out = _matmul(out, p["w"] * m) + p["b"]
             if i < len(layers) - 1:
                 out = self.activation(out)
         return out.reshape(x.shape[0], self.heads, self.n_in), variables["state"]

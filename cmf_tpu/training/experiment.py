@@ -135,6 +135,12 @@ def setup_density_and_loaders(config, sharding=None):
 
 
 def setup_experiment(config, resume_dir=None, testing=False, write_to_disk=True, sharding=None):
+    # Matmul precision for coupler nets (trace-time policy; Gram/Cholesky
+    # stay fp32 regardless). config "compute_dtype": "float32" | "bfloat16".
+    from ..nets import set_compute_dtype
+
+    set_compute_dtype(config.get("compute_dtype", "float32"))
+
     seed = config["seed"]
     key = jax.random.PRNGKey(seed)
     init_key, train_key = jax.random.split(key)
