@@ -151,9 +151,70 @@ class ImageMetricDensityVisualizer:
             plt.close(fig)
 
 
+class ImageCenteringDensityVisualizer:
+    """Centering analysis (visualizer.py:1341-1375): reconstructions of
+    original vs mean-centered inputs through the injective chain — a visual
+    check of where the learned manifold sits relative to the data mean."""
+
+    def __init__(self, writer, x_train, num_elbo_samples=1, max_points=8):
+        self._writer = writer
+        self._x = np.asarray(x_train)[:max_points]
+
+    def visualize(self, density, variables, epoch, write_folder=None):
+        x = jnp.asarray(self._x)
+        z = density.extract_latent(variables, x)
+        recon = np.asarray(density.decode(variables, z, train=False))
+        mean = jnp.mean(x, axis=0, keepdims=True)
+        z_c = density.extract_latent(variables, x - mean + jnp.mean(mean))
+        recon_c = np.asarray(density.decode(variables, z_c, train=False))
+
+        n = self._x.shape[0]
+        fig, axes = plt.subplots(3, n, figsize=(2 * n, 6))
+        for i in range(n):
+            for row, img in enumerate((self._x[i], recon[i], recon_c[i])):
+                ax = axes[row, i]
+                ax.imshow(np.clip(np.moveaxis(img, 0, 2).squeeze(), 0, 256) / 256.0, cmap="gray")
+                ax.axis("off")
+        axes[0, 0].set_title("input", loc="left")
+        axes[1, 0].set_title("reconstruction", loc="left")
+        axes[2, 0].set_title("centered recon", loc="left")
+        self._writer.write_figure(f"centering_epoch{epoch}", fig, global_step=epoch)
+        if write_folder is not None:
+            fig.savefig(f"{write_folder}/centering.pdf")
+        plt.close(fig)
+
+
+def volume_distortion(density, variables, z):
+    """√det(JᵀJ) per example — the local volume element of the decoder
+    (visualizer.py:2023-2318 volume-distortion invariant)."""
+    g = metric_tensor(density, variables, z)
+    sign, logdet = jnp.linalg.slogdet(g)
+    return np.asarray(jnp.exp(0.5 * logdet))
+
+
+def winding_number(curve_xy):
+    """Winding of a closed planar curve around the origin (the circle-family
+    topological invariant, visualizer.py SixDimensional battery)."""
+    theta = np.unwrap(np.arctan2(curve_xy[:, 1], curve_xy[:, 0]))
+    return float((theta[-1] - theta[0]) / (2 * np.pi))
+
+
+def discrete_curvature(curve):
+    """Mean discrete curvature of a polyline sweep (turning angle per unit
+    length) — curvature invariant analogue."""
+    d1 = np.diff(curve, axis=0)
+    seg = np.linalg.norm(d1, axis=1) + 1e-12
+    t = d1 / seg[:, None]
+    cos_angles = np.clip(np.sum(t[1:] * t[:-1], axis=1), -1, 1)
+    angles = np.arccos(cos_angles)
+    return float(np.sum(angles) / np.sum(seg))
+
+
 class HighDimensionalNonSquareVisualizer:
     """4-D/6-D ambient diagnostics (visualizer.py:2023-2318): coordinate-pair
-    projections of data vs samples, mean-|J| heatmap, MACS matrix."""
+    projections of data vs samples, per-latent-axis manifold sweeps, mean-|J|
+    heatmap, MACS matrix, and geometric invariants (volume distortion,
+    winding, discrete curvature)."""
 
     def __init__(self, writer, x_train, num_elbo_samples=1, max_points=1000):
         self._writer = writer
@@ -186,6 +247,23 @@ class HighDimensionalNonSquareVisualizer:
         mean_absJ = np.asarray(jnp.mean(jnp.abs(J), axis=0))
         macs_value, cos_matrix = macs(density, variables, z[:256])
         self._writer.write_scalar("metric/macs", macs_value, global_step=epoch)
+
+        # Geometric invariants + per-axis sweeps
+        vol = volume_distortion(density, variables, z[:256])
+        mean_z = jnp.mean(z, axis=0)
+        std_z = jnp.std(z, axis=0)
+        invariants = {"volume_distortion_mean": float(np.mean(vol)),
+                      "volume_distortion_std": float(np.std(vol)),
+                      "macs": macs_value}
+        sweeps = {}
+        for k in range(min(3, z.shape[1])):
+            t = jnp.linspace(-2.0, 2.0, 64)
+            zs = jnp.tile(mean_z, (64, 1)).at[:, k].set(mean_z[k] + t * std_z[k])
+            curve = np.asarray(density.decode(variables, zs, train=False))
+            sweeps[k] = curve
+            invariants[f"axis{k}_winding_xy"] = winding_number(curve[:, :2])
+            invariants[f"axis{k}_curvature"] = discrete_curvature(curve)
+        self._writer.write_json(f"invariants_epoch{epoch}", invariants)
 
         fig, axes = plt.subplots(1, 2, figsize=(10, 4))
         im0 = axes[0].imshow(mean_absJ, aspect="auto", cmap="viridis")

@@ -83,9 +83,14 @@ class TwoDimensionalDensityVisualizer:
 
 
 class TwoDimensionalNonSquareVisualizer:
-    """1-D-latent manifold visualization (visualizer.py:1464-1615): the
-    learned manifold colored by density, the pullback density along the
-    latent, and the von-Mises ground truth when applicable."""
+    """1-D-latent manifold visualization (visualizer.py:1464-1615): learned
+    manifold colored by density, decoder speed |g'(z)| plot, pullback density
+    along the latent with the von-Mises ground truth overlay for the circle
+    dataset (visualizer.py:1558-1583), and a latent histogram/KDE.
+
+    The 2-D-latent variant (TwoDimensionalNonSquareVisualizer_2dlatent,
+    visualizer.py:1669+) renders the density contour + model samples instead.
+    """
 
     _NUM_SWEEP = 1000
 
@@ -96,8 +101,13 @@ class TwoDimensionalNonSquareVisualizer:
         self._dataset = dataset
 
     def visualize(self, density, variables, epoch, write_folder=None):
-        # Sweep the 1-D latent over its empirical range
         lat = np.asarray(density.extract_latent(variables, jnp.asarray(self._x[:2000])))
+        if lat.shape[1] == 1:
+            self._visualize_1d(density, variables, lat, epoch, write_folder)
+        else:
+            self._visualize_2d(density, variables, epoch, write_folder)
+
+    def _visualize_1d(self, density, variables, lat, epoch, write_folder):
         lo, hi = np.percentile(lat[:, 0], [0.5, 99.5])
         sweep = jnp.asarray(np.linspace(lo, hi, self._NUM_SWEEP, dtype=np.float32))[:, None]
         curve = np.asarray(density.decode(variables, sweep))
@@ -105,28 +115,78 @@ class TwoDimensionalNonSquareVisualizer:
         info, _ = density.elbo(variables, jnp.asarray(curve), train=False)
         log_probs = np.asarray(info["elbo"])
 
-        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
-        axes[0].scatter(self._x[:1000, 0], self._x[:1000, 1], s=2, c="grey", alpha=0.4)
-        sc = axes[0].scatter(
+        # Decoder speed |dg/dz| along the sweep (visualizer.py speed plot)
+        def decode_one(z):
+            return density.decode(variables, z[None], train=False)[0]
+
+        tangents = np.asarray(
+            jax.vmap(lambda z: jax.jvp(decode_one, (z,), (jnp.ones_like(z),))[1])(sweep)
+        )
+        speed = np.linalg.norm(tangents.reshape(self._NUM_SWEEP, -1), axis=1)
+
+        fig, axes = plt.subplots(2, 2, figsize=(12, 9))
+        axes[0, 0].scatter(self._x[:1000, 0], self._x[:1000, 1], s=2, c="grey", alpha=0.4)
+        sc = axes[0, 0].scatter(
             curve[:, 0], curve[:, 1], s=4,
             c=np.clip(log_probs, *self._bounds) if self._bounds[0] is not None else log_probs,
             cmap="viridis",
         )
-        fig.colorbar(sc, ax=axes[0])
-        axes[0].set_title("manifold, colored by log-density")
+        fig.colorbar(sc, ax=axes[0, 0])
+        axes[0, 0].set_title("manifold, colored by log-density")
 
-        # Pullback density along the latent (non_square.py:331-338)
+        axes[0, 1].plot(np.asarray(sweep[:, 0]), speed)
+        axes[0, 1].set_title("decoder speed |g'(z)|")
+
+        # Pullback density along the embedded curve, with the von-Mises
+        # closed form for the circle dataset (visualizer.py:1575-1583)
         try:
             pullback = np.asarray(
                 density.pullback_log_jac_jac_transpose(variables, jnp.asarray(curve))
             )
-            axes[1].plot(np.asarray(sweep[:, 0]), log_probs + pullback / 2.0)
-            axes[1].set_title("pullback log-density")
+            axes[1, 0].plot(np.asarray(sweep[:, 0]), log_probs + pullback / 2.0,
+                            label="model pullback")
+            if self._dataset == "von-mises-circle":
+                theta = np.arctan2(curve[:, 1], curve[:, 0])
+                from scipy.stats import vonmises
+
+                axes[1, 0].plot(
+                    np.asarray(sweep[:, 0]),
+                    np.log(vonmises.pdf(theta, 1.0, loc=np.pi / 2) + 1e-12),
+                    "--", label="von-Mises ground truth",
+                )
+            axes[1, 0].legend()
+            axes[1, 0].set_title("pullback log-density")
         except Exception:
-            axes[1].hist(lat[:, 0], bins=50, density=True)
-            axes[1].set_title("latent histogram")
+            pass
+
+        axes[1, 1].hist(lat[:, 0], bins=50, density=True)
+        axes[1, 1].set_title("latent histogram")
 
         self._writer.write_figure(f"manifold_epoch{epoch}", fig, global_step=epoch)
+        if write_folder is not None:
+            fig.savefig(f"{write_folder}/density.pdf")
+        plt.close(fig)
+
+    def _visualize_2d(self, density, variables, epoch, write_folder):
+        from ..eval.metrics import metrics
+
+        g = 80
+        x1 = np.linspace(self._x[:, 0].min() - 0.5, self._x[:, 0].max() + 0.5, g)
+        x2 = np.linspace(self._x[:, 1].min() - 0.5, self._x[:, 1].max() + 0.5, g)
+        g1, g2 = np.meshgrid(x1, x2)
+        grid = jnp.asarray(np.stack([g1.reshape(-1), g2.reshape(-1)], 1), jnp.float32)
+        out = metrics(density, variables, grid, 1, rng=jax.random.PRNGKey(epoch))
+        probs = np.exp(np.asarray(out["log-prob"])).reshape(g, g)
+        samples = np.asarray(density.sample(variables, jax.random.PRNGKey(epoch), 1000))
+
+        fig, axes = plt.subplots(1, 2, figsize=(12, 5))
+        cs = axes[0].contourf(g1, g2, probs, levels=40)
+        fig.colorbar(cs, ax=axes[0])
+        axes[0].set_title("model density")
+        axes[1].scatter(self._x[:1000, 0], self._x[:1000, 1], s=2, alpha=0.4, label="data")
+        axes[1].scatter(samples[:, 0], samples[:, 1], s=2, alpha=0.4, label="model")
+        axes[1].legend()
+        self._writer.write_figure(f"density_epoch{epoch}", fig, global_step=epoch)
         if write_folder is not None:
             fig.savefig(f"{write_folder}/density.pdf")
         plt.close(fig)

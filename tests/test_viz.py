@@ -1,0 +1,109 @@
+"""Visualizer smoke tests: every class renders without error on tiny models
+(the reference has no tests for its 2.4k-line visualizer; we at least assert
+each battery runs and writes its artifacts)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmf_tpu.training.writer import Writer
+from cmf_tpu.viz import get_visualizer
+from cmf_tpu.viz.metric_analysis import (
+    discrete_curvature,
+    volume_distortion,
+    winding_number,
+)
+from tests.test_nonsquare import build_nonsquare
+
+
+@pytest.fixture
+def writer(tmp_path):
+    return Writer(logdir=str(tmp_path), make_subdir=False, tee=False)
+
+
+def test_winding_and_curvature_circle():
+    theta = np.linspace(0, 2 * np.pi, 200)
+    circle = np.stack([np.cos(theta), np.sin(theta)], 1)
+    assert abs(winding_number(circle) - 1.0) < 0.02
+    # circle of radius 1 has curvature 1
+    assert abs(discrete_curvature(circle) - 1.0) < 0.05
+
+
+def test_volume_distortion_orthogonal_tail(rng):
+    from cmf_tpu.densities import DiagonalGaussianDensity, NonSquareTailDensity
+
+    tail = NonSquareTailDensity(
+        prior=DiagonalGaussianDensity((2,)), x_shape=(5,), latent_dimension=2,
+        detach_before_prior=False,
+    )
+    variables = tail.init(rng)
+    vol = volume_distortion(tail, variables, jax.random.normal(rng, (4, 2)))
+    np.testing.assert_allclose(vol, 1.0, rtol=1e-5)
+
+
+def _cfg(dataset, latent_dimension, model="non-square"):
+    return {
+        "dataset": dataset,
+        "model": model,
+        "non_square": model == "non-square",
+        "latent_dimension": latent_dimension,
+        "num_test_elbo_samples": 1,
+        "vis_log_prob_min": -3,
+        "vis_log_prob_max": 1,
+    }
+
+
+def test_2d_nonsquare_visualizer_1d_latent(writer, rng, tmp_path):
+    head, variables = build_nonsquare(D=2, d=1, key=rng)
+    data = np.asarray(jax.random.normal(rng, (500, 2)))
+    viz = get_visualizer(_cfg("von-mises-circle", 1), writer, data)
+    viz.visualize(head, variables, epoch=1, write_folder=str(tmp_path))
+    assert os.path.exists(tmp_path / "density.pdf")
+
+
+def test_2d_nonsquare_visualizer_2d_latent(writer, rng, tmp_path):
+    head, variables = build_nonsquare(D=2, d=2, key=rng)
+    data = np.asarray(jax.random.normal(rng, (500, 2)))
+    viz = get_visualizer(_cfg("fuzzy-line", 2), writer, data)
+    viz.visualize(head, variables, epoch=1, write_folder=str(tmp_path))
+    assert os.path.exists(tmp_path / "density.pdf")
+
+
+def test_3d_nonsquare_visualizer(writer, rng, tmp_path):
+    head, variables = build_nonsquare(D=3, d=2, key=rng)
+    data = np.asarray(jax.random.normal(rng, (500, 3)))
+    viz = get_visualizer(_cfg("sphere", 2), writer, data)
+    viz.visualize(head, variables, epoch=1, write_folder=str(tmp_path))
+    assert os.path.exists(tmp_path / "manifold3d.pdf")
+
+
+def test_highdim_visualizer_with_invariants(writer, rng, tmp_path):
+    head, variables = build_nonsquare(D=6, d=3, key=rng)
+    data = np.asarray(jax.random.normal(rng, (300, 6)))
+    viz = get_visualizer(_cfg("s2inr6", 6), writer, data)
+    viz.visualize(head, variables, epoch=2, write_folder=str(tmp_path))
+    assert os.path.exists(tmp_path / "projections.pdf")
+    import json, glob
+
+    inv_files = glob.glob(str(tmp_path / "invariants_epoch*.json"))
+    assert inv_files
+    inv = json.load(open(inv_files[0]))
+    assert "volume_distortion_mean" in inv and "macs" in inv
+
+
+def test_2d_square_visualizer(writer, rng, tmp_path):
+    from cmf_tpu.densities import BijectionDensity, DiagonalGaussianDensity
+    from cmf_tpu.bijections import AffineBijection
+
+    density = BijectionDensity(
+        bijection=AffineBijection((2,), per_channel=False),
+        prior=DiagonalGaussianDensity((2,), num_fixed_samples=4),
+    )
+    variables = density.init(rng)
+    data = np.asarray(jax.random.normal(rng, (500, 2)))
+    viz = get_visualizer(_cfg("8gaussians", None, model="realnvp"), writer, data)
+    viz.visualize(density, variables, epoch=1, write_folder=str(tmp_path))
+    assert os.path.exists(tmp_path / "density.pdf")
