@@ -32,6 +32,16 @@ class ArrayLoader:
         self._epoch = 0
         self._seed = seed
         self.sharding = sharding
+        self._x_dev = None  # lazy device-resident copy for epoch_batches
+        # Datasets above this footprint (or stored uint8) stay host-resident
+        # and go through the native gather+cast path.
+        self.host_resident_bytes = 2 << 30
+
+    def _host_resident(self):
+        x = self.x
+        return isinstance(x, np.ndarray) and (
+            x.dtype == np.uint8 or x.nbytes > self.host_resident_bytes
+        )
 
     @property
     def num_examples(self):
@@ -63,10 +73,35 @@ class ArrayLoader:
                 batch = jax.device_put(batch, self.sharding)
             yield batch
 
+    def _device_x(self):
+        """One-time upload of the dataset (matching the reference's
+        whole-tensor `.to(device)`, supervised_dataset.py:24-30)."""
+        if self._x_dev is None:
+            x = jnp.asarray(self.x)
+            if self.sharding is not None:
+                # Keep the dataset itself sharded over the data axis so the
+                # per-epoch gather stays device-local.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                x = jax.device_put(
+                    x, NamedSharding(self.sharding.mesh, PartitionSpec(*self.sharding.spec))
+                )
+            self._x_dev = x
+        return self._x_dev
+
     def epoch_batches(self):
         """The whole (shuffled) epoch as one (num_batches, B, ...) device
         array — feeds a ``lax.scan``-ed train epoch (one dispatch per epoch
-        instead of one per step; dispatch latency off the hot path)."""
+        instead of one per step; dispatch latency off the hot path).
+
+        Two regimes:
+        * device-resident (default): the dataset is uploaded once and the
+          per-epoch permutation gather runs on device — only the index
+          vector crosses the host boundary;
+        * host-resident (uint8 or oversized datasets): the C++ threaded
+          gather+cast kernel (data/native) assembles the epoch on host in
+          one fused pass, then a single transfer uploads it.
+        """
         n = self.num_examples
         nb = n // self.batch_size
         if self.shuffle:
@@ -74,8 +109,20 @@ class ArrayLoader:
             order = rng.permutation(n)[: nb * self.batch_size]
             self._epoch += 1
         else:
-            order = np.arange(nb * self.batch_size)
-        stacked = jnp.asarray(self.x[order]).reshape(nb, self.batch_size, *self.x.shape[1:])
+            order = None
+
+        if self._host_resident():
+            from .native import gather_cast
+
+            idx = order if order is not None else np.arange(nb * self.batch_size)
+            stacked = jnp.asarray(gather_cast(np.asarray(self.x), idx))
+        else:
+            x_dev = self._device_x()
+            if order is not None:
+                stacked = jnp.take(x_dev, jnp.asarray(order), axis=0)
+            else:
+                stacked = x_dev[: nb * self.batch_size]
+        stacked = stacked.reshape(nb, self.batch_size, *self.x.shape[1:])
         if self.sharding is not None and self.batch_size % self.sharding.mesh.size == 0:
             from jax.sharding import NamedSharding, PartitionSpec
 
