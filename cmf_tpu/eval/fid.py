@@ -73,16 +73,62 @@ def get_fid_function(config, reference_loader, feature_fn=None):
 
     feature_fn=None ⇒ raw features (tabular). For images pass the Inception
     feature function (eval/inception.py).
+
+    When the feature function is jax-traceable (raw features, the JAX
+    Inception port, the proxy), the whole sample→features→mean/cov pipeline
+    runs as ONE jitted lax.scan on device — 50k-sample FID with a single
+    dispatch and no host↔device ping-pong (SURVEY.md §7 "host-side FID").
+    Host-only feature functions (torch) stream batch-by-batch instead.
     """
     ref_mu, ref_cov = activation_statistics(iter(reference_loader), feature_fn)
     num_samples = config["num_fid_samples"]
     batch_size = config["test_batch_size"]
+    n_batches = max(num_samples // batch_size, 1)
+
+    # Host-only feature fns (the torchvision fallback) set jax_traceable=False
+    jax_traceable = feature_fn is None or getattr(feature_fn, "jax_traceable", True)
+
+    _fused_cache = {}
+
+    def _fused_stats(density):
+        if "fn" not in _fused_cache:
+
+            @jax.jit
+            def stats(variables, rng):
+                def body(carry, _):
+                    s1, s2, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    x = density.sample(variables, sub, batch_size)
+                    feats = x if feature_fn is None else feature_fn(x)
+                    feats = feats.reshape(feats.shape[0], -1).astype(jnp.float32)
+                    s1 = s1 + jnp.sum(feats, axis=0)
+                    s2 = s2 + jnp.einsum(
+                        "bi,bj->ij", feats, feats, precision=jax.lax.Precision.HIGHEST
+                    )
+                    return (s1, s2, rng), ()
+
+                probe = density.sample(variables, rng, 1)
+                feats0 = probe if feature_fn is None else feature_fn(probe)
+                dim = int(np.prod(feats0.shape[1:]))
+                init = (jnp.zeros(dim), jnp.zeros((dim, dim)), rng)
+                (s1, s2, _), _ = jax.lax.scan(body, init, None, length=n_batches)
+                n = n_batches * batch_size
+                mu = s1 / n
+                cov = (s2 - n * jnp.outer(mu, mu)) / (n - 1)
+                return mu, cov
+
+            _fused_cache["fn"] = stats
+        return _fused_cache["fn"]
 
     def fid(density, variables, rng):
-        mu, cov = activation_statistics(
-            sample_batches(density, variables, rng, num_samples, batch_size),
-            feature_fn,
-        )
+        if jax_traceable:
+            mu, cov = _fused_stats(density)(variables, rng)
+            mu, cov = np.asarray(mu), np.asarray(cov)
+        else:
+            mu, cov = activation_statistics(
+                sample_batches(density, variables, rng, num_samples, batch_size),
+                feature_fn,
+            )
         return frechet_distance(ref_mu, ref_cov, mu, cov)
 
     return fid

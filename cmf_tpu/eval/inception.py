@@ -82,6 +82,7 @@ def _torchvision_feature_fn():
             out = model(t)
         return jnp.asarray(out.numpy())
 
+    features.jax_traceable = False
     return features
 
 
