@@ -260,6 +260,7 @@ def setup_experiment(config, resume_dir=None, testing=False, write_to_disk=True,
         only_testing=testing,
         rng=train_key,
         batch_sharding=sharding,
+        profile_dir=config.get("profile_dir"),
     )
 
     return {

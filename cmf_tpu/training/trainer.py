@@ -70,6 +70,7 @@ class Trainer:
         only_testing=False,
         rng=None,
         batch_sharding=None,
+        profile_dir=None,
     ):
         self.density = density
         self.params = variables["params"]
@@ -109,6 +110,10 @@ class Trainer:
 
         self._step_cache = {}
         self._eval_cache = {}
+        # jax.profiler trace of the first post-compile epoch (§5 tracing):
+        # written as a TensorBoard-compatible trace under profile_dir.
+        self.profile_dir = profile_dir
+        self._profiled = False
 
         # Startup auto-restore (trainer.py:175-186)
         first, second = ("best_valid", "latest") if only_testing else ("latest", "best_valid")
@@ -232,6 +237,12 @@ class Trainer:
         batches = self.train_loader.epoch_batches()
         num_batches = batches.shape[0]
         epoch_fn = self._get_epoch_fn(opt_index, flags)
+
+        # Trace the first post-compile epoch (epoch 2) so the timeline shows
+        # steady-state device time, not compilation.
+        profiling = self.profile_dir is not None and not self._profiled and epoch > 1
+        if profiling:
+            jax.profiler.start_trace(self.profile_dir)
         (
             self.params,
             self.model_state,
@@ -248,6 +259,11 @@ class Trainer:
             lw,
             mw,
         )
+
+        if profiling:
+            jax.block_until_ready(losses)
+            jax.profiler.stop_trace()
+            self._profiled = True
 
         # Telemetry: keep the reference's every-10-steps scalar cadence by
         # writing from the scanned per-step outputs (trainer.py:334-355).

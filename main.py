@@ -66,6 +66,8 @@ def build_parser():
     # TPU-native extensions
     parser.add_argument("--mesh", default=None,
                         help="Device mesh spec, e.g. `data=8`. Default: all local devices on one data axis.")
+    parser.add_argument("--profile-dir", default=None,
+                        help="Write a jax.profiler trace of the first post-compile epoch here.")
     parser.add_argument("--grid-shard", default=None,
                         help="`i/n`: run the i-th of n slices of the expanded (config×seed) grid on this host.")
     return parser
@@ -109,6 +111,7 @@ def main(argv=None):
             "logdir_root": args.logdir_root,
             "rundir_tail": args.rundir_tail,
             "synthetic_data": args.synthetic_data or None,
+            "profile_dir": args.profile_dir,
         }
     else:
         with open(Path(args.resume) / "config.json", "r") as f:
