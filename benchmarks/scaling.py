@@ -1,0 +1,105 @@
+#!/usr/bin/env python3
+"""Data-parallel scaling harness: samples/s at 1..N devices.
+
+Measures the jitted non-square train step with the batch sharded over a
+``data`` mesh of increasing size (BASELINE.json: ">=80% linear samples/s
+scaling efficiency"). On a single-chip host, run with
+``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`` to
+validate the machinery; on a pod slice it measures real ICI scaling.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cmf_tpu.config import expand_grid, get_config, get_schema
+from cmf_tpu.models import get_density
+
+
+def measure(n_devices, per_device_batch=512, dim=43, n_steps=20, depth=None):
+    config = expand_grid(get_config("miniboone", "non-square", use_baseline=False))[0]
+    config["seed"] = 0
+    if depth is not None:  # reduced geometry for CPU-mesh machinery checks
+        config.update({"num_density_layers": depth, "prior_num_density_layers": 2,
+                       "latent_dimension": 4, "coupler_hidden_channels": [16] * 2,
+                       "prior_hidden_channels": [8] * 2})
+    density = get_density(get_schema(config), x_shape=(dim,))
+    variables = density.init(jax.random.PRNGKey(0))
+    opt = optax.adam(config["lr"])
+
+    mesh = Mesh(np.array(jax.devices()[:n_devices]), ("data",))
+    data_sh = NamedSharding(mesh, P(None, "data"))
+    repl = NamedSharding(mesh, P())
+    batch = per_device_batch * n_devices
+
+    @jax.jit
+    def epoch(carry, batches):
+        def body(carry, x):
+            params, state, opt_state, rng = carry
+            rng, sub = jax.random.split(rng)
+
+            def loss_fn(p):
+                info, ns = density.elbo(
+                    {"params": p, "state": state}, x, rng=sub, train=True,
+                    likelihood_wt=1.0, add_reconstruction=True,
+                )
+                return -jnp.mean(info["elbo"]), ns
+
+            (loss, ns), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), ns, opt_state, rng), loss
+
+        return jax.lax.scan(body, carry, batches)
+
+    batches = jax.device_put(
+        jnp.asarray(np.random.default_rng(0).normal(size=(n_steps, batch, dim)), jnp.float32),
+        data_sh,
+    )
+    carry = (
+        jax.device_put(variables["params"], repl),
+        jax.device_put(variables["state"], repl),
+        jax.device_put(opt.init(variables["params"]), repl),
+        jax.random.PRNGKey(1),
+    )
+    with mesh:
+        carry, losses = epoch(carry, batches)
+        jax.block_until_ready(losses)
+        t0 = time.perf_counter()
+        carry, losses = epoch(carry, batches)
+        jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    return batch * n_steps / dt
+
+
+def main():
+    import os
+
+    n_avail = jax.device_count()
+    on_cpu = jax.devices()[0].platform == "cpu"
+    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_avail]
+    results = {}
+    base = None
+    for n in sizes:
+        if on_cpu:  # machinery validation, not a hardware measurement
+            sps = measure(n, per_device_batch=128, n_steps=5, depth=2)
+        else:
+            sps = measure(n)
+        results[n] = sps
+        if base is None:
+            base = sps
+        eff = sps / (base * n)
+        print(json.dumps({
+            "devices": n,
+            "samples_per_s": round(sps, 1),
+            "scaling_efficiency": round(eff, 3),
+        }))
+    return results
+
+
+if __name__ == "__main__":
+    main()
