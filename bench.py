@@ -20,7 +20,17 @@ import numpy as np
 
 
 def main():
+    import os as _os
+
     import jax
+
+    cache = _os.path.expanduser("~/.cache/cmf_tpu_xla")
+    _os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     import optax
 

@@ -354,11 +354,20 @@ def generate_ood_metrics(config, resume_dir, sharding=None):
             )
             trainer = setup["trainer"]
             loader = trainer.train_loader if use_train else trainer.test_loader
-            # Per-run dump named as experiment.py:316-338
+            # Per-run dump named as trainer.py:229-252
             writer = Writer(logdir=resume_dir, make_subdir=False, tee=False)
             trainer.writer = writer
             arr = trainer.test_ood(loader, f"ood_metrics_{split}_{label}")
             results[(label, split)] = arr
+            # Per-dataset summary json (single_ood_test, experiment.py:316-338)
+            writer.write_json(
+                f"ood_metrics_{dataset}_train={use_train}",
+                {
+                    "likelihood_mean": float(np.nanmean(arr[:, 0])),
+                    "reconstruction_error_mean": float(np.nanmean(arr[:, 1])),
+                    "n": int(arr.shape[0]),
+                },
+            )
     return results
 
 

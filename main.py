@@ -73,6 +73,21 @@ def build_parser():
     return parser
 
 
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: repeat runs and resumes skip the
+    (minutes-long, over remote-compile tunnels) recompiles."""
+    import os
+    import jax
+
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/cmf_tpu_xla"))
+    try:
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 def get_sharding(mesh_spec):
     """Build a NamedSharding over the data axis for input batches."""
     import numpy as np
@@ -92,6 +107,7 @@ def get_sharding(mesh_spec):
 
 
 def main(argv=None):
+    _enable_compilation_cache()
     args = build_parser().parse_args(argv)
 
     if args.resume is None:
