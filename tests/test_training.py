@@ -175,3 +175,34 @@ def test_early_stopping_terminates(tmp_path):
     trainer = setup["trainer"]
     trainer.train()
     assert trainer.epoch < 50
+
+
+def test_square_flow_training(tmp_path):
+    """Square-flow path end-to-end (experiment.py:608-619 closures): maf on a
+    2-D dataset with importance-sampled valid/test metrics."""
+    from cmf_tpu.config import get_config
+
+    cfg = get_config("8gaussians", "maf", use_baseline=True)
+    cfg.update(
+        {
+            "seed": 0,
+            "dataset": "8gaussians",
+            "model": "maf",
+            "max_epochs": 2,
+            "epochs_per_test": 100,
+            "num_density_layers": 2,
+            "ar_map_hidden_channels": [16] * 2,
+            "train_batch_size": 500,
+            "num_valid_elbo_samples": 2,
+            "num_test_elbo_samples": 2,
+            "early_stopping": True,
+            "max_bad_valid_epochs": 50,
+            "nosave": True,
+        }
+    )
+    setup = setup_experiment(cfg, write_to_disk=False)
+    trainer = setup["trainer"]
+    trainer.train()
+    results = trainer.test()
+    assert {"elbo", "log-prob", "bpd", "elbo-gap"} <= set(results)
+    assert np.isfinite(results["log-prob"])
