@@ -94,8 +94,18 @@ def make_optimizer(config, num_steps_per_epoch, mask=None):
     if config.get("lr_schedule", "none") == "cosine":
         t_max = config["max_epochs"] * num_steps_per_epoch
         schedule = optax.cosine_decay_schedule(init_value=lr, decay_steps=t_max)
+
+        def host_schedule(i):
+            # Host-side mirror for telemetry — evaluating the optax schedule
+            # eagerly would be a per-epoch device round-trip.
+            frac = min(i, t_max) / t_max
+            return lr * 0.5 * (1 + np.cos(np.pi * frac))
+
     else:
         schedule = optax.constant_schedule(lr)
+
+        def host_schedule(i):
+            return lr
 
     parts = []
     if config.get("max_grad_norm") is not None:
@@ -117,7 +127,7 @@ def make_optimizer(config, num_steps_per_epoch, mask=None):
     opt = optax.chain(*parts)
     if mask is not None:
         opt = optax.masked(opt, mask)
-    return opt, schedule
+    return opt, host_schedule
 
 
 def setup_density_and_loaders(config, sharding=None):
