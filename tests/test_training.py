@@ -206,3 +206,32 @@ def test_square_flow_training(tmp_path):
     results = trainer.test()
     assert {"elbo", "log-prob", "bpd", "elbo-gap"} <= set(results)
     assert np.isfinite(results["log-prob"])
+
+
+@pytest.mark.slow
+def test_image_nonsquare_fid_validation(tmp_path):
+    """Image non-square with use_fid: FID (proxy features) substitutes for the
+    validation loss (trainer.py:300-302) and lands in test() results."""
+    from cmf_tpu.config import get_config
+
+    cfg = expand_grid(get_config("mnist", "non-square", use_baseline=False))[0]
+    cfg.update(
+        {
+            "seed": 0, "dataset": "mnist", "model": "non-square",
+            "max_epochs": 2, "epochs_per_test": 1000,
+            "g_hidden_channels": [4] * 2, "prior_num_density_layers": 2,
+            "prior_hidden_channels": [8] * 2, "latent_dimension": 4,
+            "train_batch_size": 50, "valid_batch_size": 50, "test_batch_size": 50,
+            "early_stopping": True, "max_bad_valid_epochs": 50,
+            "likelihood_warmup": False,
+            "use_fid": True, "num_fid_samples": 100, "fid_dims": 64,
+            "synthetic_data": True, "nosave": True,
+        }
+    )
+    setup = setup_experiment(cfg, write_to_disk=False)
+    trainer = setup["trainer"]
+    assert trainer.fid_function is not None
+    trainer.train()
+    assert np.isfinite(trainer.best_valid_loss), "FID must drive validation"
+    results = trainer.test()
+    assert "fid" in results and np.isfinite(results["fid"])
