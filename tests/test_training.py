@@ -235,3 +235,23 @@ def test_image_nonsquare_fid_validation(tmp_path):
     assert np.isfinite(trainer.best_valid_loss), "FID must drive validation"
     results = trainer.test()
     assert "fid" in results and np.isfinite(results["fid"])
+
+
+def test_optimizer_variants(tmp_path):
+    """sgd/adamax + cosine schedule + grad clipping + checkpoints=none all
+    build and step (experiment.py:515-555 surface)."""
+    for overrides in (
+        {"opt": "sgd", "lr": 1e-3},
+        {"opt": "adamax", "lr": 1e-3},
+        {"lr_schedule": "cosine", "max_grad_norm": 5},
+        {"should_checkpoint_latest": False, "should_checkpoint_best_valid": False},
+        {"weight_decay": 0.1},
+        {"compute_dtype": "bfloat16"},
+    ):
+        cfg = small_sphere_config(tmp_path, nosave=True, max_epochs=1, **overrides)
+        setup = setup_experiment(cfg, write_to_disk=False)
+        setup["trainer"].train()
+        # restore default policy for subsequent tests
+    from cmf_tpu.nets import set_compute_dtype
+
+    set_compute_dtype("float32")
