@@ -24,7 +24,7 @@ def main():
 
     import jax
 
-    cache = _os.path.expanduser("~/.cache/cmf_tpu_xla")
+    cache = _os.path.join(_os.path.expanduser("~/.cache/cmf_tpu_xla"), jax.default_backend())
     _os.makedirs(cache, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -80,7 +80,10 @@ def _enable_compilation_cache():
     import os
     import jax
 
-    path = os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/cmf_tpu_xla"))
+    base = os.environ.get("JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/cmf_tpu_xla"))
+    # Per-backend subdir: AOT results compiled under one host profile emit
+    # machine-feature warnings when loaded by another process kind.
+    path = os.path.join(base, jax.default_backend())
     try:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
