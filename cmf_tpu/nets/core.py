@@ -81,12 +81,20 @@ def _conv2d(x, w, b=None, padding="SAME"):
     # x: (B, C, H, W); w: (O, I, kh, kw)
     cd = _COMPUTE_DTYPE[0]
     if cd != jnp.float32:
-        x, w = x.astype(cd), w.astype(cd)
-    out = jax.lax.conv_general_dilated(
-        x, w, window_strides=(1, 1), padding=padding,
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )
+        # Pure-bf16 conv with an explicit f32 cast on the OUTPUT (not
+        # preferred_element_type): the transpose rule of a mixed-precision
+        # conv rejects the f32 cotangent against bf16 weights, which breaks
+        # jax.linear_transpose in the Hutchinson JᵀJ path. TPU convs still
+        # accumulate in f32 internally.
+        out = jax.lax.conv_general_dilated(
+            x.astype(cd), w.astype(cd), window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        ).astype(jnp.float32)
+    else:
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=padding,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
     if b is not None:
         out = out + b[None, :, None, None]
     return out

@@ -219,3 +219,30 @@ def test_batchnorm_in_decode_path(rng):
     x = jax.random.normal(jax.random.fold_in(rng, 37), (16, D)) * 2 + 1
     info, _ = head.elbo(variables, x, train=True)
     assert np.all(np.isfinite(np.asarray(info["elbo"])))
+
+
+def test_bf16_policy_image_hutch_path(rng):
+    """bfloat16 compute policy must survive the full image hutch+CG path
+    (conv transpose under jax.linear_transpose was the failure mode)."""
+    from cmf_tpu.config import expand_grid, get_config, get_schema
+    from cmf_tpu.models import get_density
+    from cmf_tpu.nets import compute_dtype
+
+    cfg = expand_grid(get_config("mnist", "non-square", use_baseline=False))[0]
+    cfg.update({"seed": 0, "g_hidden_channels": [4] * 2, "prior_num_density_layers": 2,
+                "prior_hidden_channels": [8] * 2, "latent_dimension": 4})
+    with compute_dtype("bfloat16"):
+        density = get_density(get_schema(cfg), x_shape=(1, 8, 8))
+        v = density.init(rng)
+        x = jax.random.uniform(rng, (4, 1, 8, 8)) * 255
+
+        def loss(p):
+            info, _ = density.elbo(
+                {"params": p, "state": v["state"]}, x, rng=jax.random.fold_in(rng, 1),
+                train=True, likelihood_wt=1.0, add_reconstruction=True,
+            )
+            return -jnp.mean(info["elbo"])
+
+        g = jax.grad(loss)(v["params"])
+        flat, _ = ravel_pytree(g)
+        assert bool(jnp.all(jnp.isfinite(flat)))
