@@ -40,7 +40,14 @@ class Writer:
         if make_subdir:
             os.makedirs(logdir, exist_ok=True)
             timestamp = time.strftime("%b%d_%H-%M-%S")
-            logdir = os.path.join(logdir, timestamp + rundir_tail)
+            candidate = os.path.join(logdir, timestamp + rundir_tail)
+            # Same-second launches (multi-seed loops) must not share a dir —
+            # the reference's timestamp-only naming silently collides.
+            suffix = 0
+            logdir = candidate
+            while os.path.exists(logdir):
+                suffix += 1
+                logdir = f"{candidate}_{suffix}"
         os.makedirs(logdir, exist_ok=True)
         self.logdir = logdir
         self._tag_group = tag_group
