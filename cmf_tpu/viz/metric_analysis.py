@@ -151,6 +151,47 @@ class ImageMetricDensityVisualizer:
             plt.close(fig)
 
 
+def cumulative_dim_fid(density, variables, x_ref, rng, dims_order, feature_fn=None,
+                       num_samples=512, batch_size=128):
+    """FID of samples decoded with only the top-k latent axes active
+    (k = 1..d, cumulative), vs reference data — the per-dimension FID battery
+    of the reference visualizer (visualizer.py:169-1339).
+
+    Latent axes outside the active set are frozen at the latent mean; the
+    resulting curve shows how many canonical dimensions carry the data.
+    """
+    from ..eval.fid import activation_statistics, frechet_distance
+
+    ref_mu, ref_cov = activation_statistics(
+        iter([jnp.asarray(x_ref[i : i + batch_size]) for i in range(0, len(x_ref), batch_size)]),
+        feature_fn,
+    )
+    z_data = density.extract_latent(variables, jnp.asarray(x_ref[: min(len(x_ref), 1024)]))
+    mean_z = jnp.mean(z_data, axis=0)
+
+    d = z_data.shape[1]
+    curve = []
+    for k in range(1, d + 1):
+        active = jnp.zeros(d).at[jnp.asarray(dims_order[:k])].set(1.0)
+
+        def batches():
+            # Latents from a Gaussian fit of the data latent distribution,
+            # restricted to the active axes.
+            n = 0
+            key = rng
+            std_z = jnp.std(z_data, axis=0)
+            while n < num_samples:
+                key, sub = jax.random.split(key)
+                z = mean_z + std_z * jax.random.normal(sub, (batch_size, d))
+                z = mean_z + (z - mean_z) * active
+                yield density.decode(variables, z, train=False)
+                n += batch_size
+
+        mu, cov = activation_statistics(batches(), feature_fn)
+        curve.append(frechet_distance(ref_mu, ref_cov, mu, cov))
+    return curve
+
+
 class ImageCenteringDensityVisualizer:
     """Centering analysis (visualizer.py:1341-1375): reconstructions of
     original vs mean-centered inputs through the injective chain — a visual

@@ -107,3 +107,19 @@ def test_2d_square_visualizer(writer, rng, tmp_path):
     viz = get_visualizer(_cfg("8gaussians", None, model="realnvp"), writer, data)
     viz.visualize(density, variables, epoch=1, write_folder=str(tmp_path))
     assert os.path.exists(tmp_path / "density.pdf")
+
+
+def test_cumulative_dim_fid(rng):
+    """Per-dimension FID curve: full-dim decode should beat 1-dim decode when
+    the data spans multiple latent axes."""
+    from cmf_tpu.viz.metric_analysis import cumulative_dim_fid
+
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    x_ref = np.asarray(head.sample(variables, jax.random.fold_in(rng, 1), 512))
+    curve = cumulative_dim_fid(
+        head, variables, x_ref, jax.random.fold_in(rng, 2),
+        dims_order=[0, 1], num_samples=256, batch_size=128,
+    )
+    assert len(curve) == 2
+    assert all(np.isfinite(curve))
+    assert curve[1] <= curve[0] + 1e-6  # more dims ⇒ no worse fit
