@@ -35,7 +35,13 @@ import jax
 import jax.numpy as jnp
 
 from .base import Density, merge_vars, split_vars
-from ..ops import batched_cg, cholesky_logdet, gram_from_columns
+from ..ops import (
+    batched_cg,
+    cholesky_logdet,
+    fused_gram_logdet,
+    fused_gram_logdet_available,
+    gram_from_columns,
+)
 
 _VALID_METHODS = ("cholesky", "hutch_with_cg")
 
@@ -168,8 +174,22 @@ class NonSquareHeadDensity(Density):
         basis = jnp.eye(d, dtype=z.dtype)
         jac_cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
         # jac_cols: (d, B, D)
-        gram = gram_from_columns(jac_cols)
-        log_det, _ = cholesky_logdet(gram)
+        big_d = jac_cols.shape[-1]
+        if fused_gram_logdet_available(d, big_d):
+            # Fused Pallas Gram+Cholesky+log-det (ops/pallas/gram_logdet.py):
+            # batch on lanes, G and L never leave VMEM. NaN log-det (non-PD
+            # Gram) falls back to the XLA jitter-retry path, preserving the
+            # reference's escalation semantics (non_square.py:263-291).
+            gram, log_det = fused_gram_logdet(jac_cols)
+            log_det = jax.lax.cond(
+                jnp.all(jnp.isfinite(log_det)),
+                lambda args: args[0],
+                lambda args: cholesky_logdet(args[1])[0],
+                (log_det, gram),
+            )
+        else:
+            gram = gram_from_columns(jac_cols)
+            log_det, _ = cholesky_logdet(gram)
         return log_det, recon_flat, gram
 
     # ------------------------------------------------------- stochastic path

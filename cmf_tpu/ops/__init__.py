@@ -1,5 +1,13 @@
 from .cg import batched_cg
 from .chol import jittered_cholesky, cholesky_logdet
 from .gram import gram_from_columns
+from .pallas import fused_gram_logdet, fused_gram_logdet_available
 
-__all__ = ["batched_cg", "jittered_cholesky", "cholesky_logdet", "gram_from_columns"]
+__all__ = [
+    "batched_cg",
+    "jittered_cholesky",
+    "cholesky_logdet",
+    "gram_from_columns",
+    "fused_gram_logdet",
+    "fused_gram_logdet_available",
+]

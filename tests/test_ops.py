@@ -67,3 +67,46 @@ def test_gram_from_columns(rng):
     J = np.moveaxis(np.asarray(cols), 0, 2)  # (B, D, d)
     expected = np.einsum("bDi,bDj->bij", J, J)
     np.testing.assert_allclose(np.asarray(gram), expected, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------- fused kernel
+def test_fused_gram_logdet_interpret_matches_xla(rng):
+    """Pallas fused Gram+Cholesky+log-det (interpret mode on CPU) must match
+    the XLA path in values AND parameter-side gradients."""
+    from cmf_tpu.ops.pallas.gram_logdet import fused_gram_logdet
+
+    d, B, D = 5, 20, 11
+    cols = jax.random.normal(rng, (d, B, D))
+
+    gram_k, ld_k = fused_gram_logdet(cols, True)
+    gram_r = gram_from_columns(cols)
+    ld_r, _ = cholesky_logdet(gram_r)
+    np.testing.assert_allclose(np.asarray(gram_k), np.asarray(gram_r), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_r), rtol=1e-4, atol=1e-4)
+
+    def f_kernel(c):
+        g, ld = fused_gram_logdet(c, True)
+        return jnp.sum(ld) + jnp.sum(jnp.abs(g))
+
+    def f_ref(c):
+        g = gram_from_columns(c)
+        ld, _ = cholesky_logdet(g)
+        return jnp.sum(ld) + jnp.sum(jnp.abs(g))
+
+    gk = jax.grad(f_kernel)(cols)
+    gr = jax.grad(f_ref)(cols)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-3, atol=1e-3)
+
+
+def test_fused_gram_logdet_nan_on_rank_deficient(rng):
+    """A rank-deficient Jacobian must yield NaN log-det (like the raw XLA
+    Cholesky), so the caller's jitter-retry cond falls back
+    (densities/nonsquare.py _exact_log_det)."""
+    from cmf_tpu.ops.pallas.gram_logdet import fused_gram_logdet
+
+    d, B, D = 4, 3, 8
+    cols = jax.random.normal(rng, (2, B, D))
+    cols = jnp.concatenate([cols, cols[:1], cols[1:2]], axis=0)  # rank 2 < d
+    assert cols.shape[0] == d
+    _, ld = fused_gram_logdet(cols, True)
+    assert not np.all(np.isfinite(np.asarray(ld)))
