@@ -197,6 +197,7 @@ def setup_experiment(config, resume_dir=None, testing=False, write_to_disk=True,
             make_subdir=make_subdir,
             tag_group=config["dataset"],
             rundir_tail=config.get("rundir_tail", ""),
+            checkpoint_backend=config.get("checkpoint_backend", "pickle"),
         )
     else:
         writer = DummyWriter(logdir=resume_dir)

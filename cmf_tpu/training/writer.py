@@ -9,11 +9,114 @@ Backend: scalars go to a JSONL file (always) and to TensorBoard if
 ``torch.utils.tensorboard`` is importable — replacing tensorboardX.
 """
 
+import atexit
 import json
 import os
 import pickle
 import sys
 import time
+
+
+class _OrbaxIO:
+    """Async orbax checkpoint IO (ROADMAP: multihost async checkpointing).
+
+    Layout per tag: ``<tag>.orbax/`` holds the array leaves written by orbax
+    (atomic finalize, multihost-coordinated at pod scale);
+    ``<tag>.orbax.meta.pkl`` holds the pytree treedef plus non-array leaves so
+    restores rebuild the EXACT structure — optax namedtuple states come back
+    as namedtuples, not orbax's dict-ification.
+
+    Asynchrony: the checkpoint payload is already host numpy (checkpoint.py
+    ``to_host``), so the *synchronous* orbax checkpointer runs on a dedicated
+    worker thread — training resumes immediately, one save in flight at a
+    time. orbax's own AsyncCheckpointer commit thread races python 3.12's
+    concurrent-futures shutdown flag at interpreter exit ("cannot schedule
+    new futures after shutdown"); draining our worker via
+    ``threading._register_atexit`` (runs in *reverse* registration order,
+    i.e. before the executor shutdown hook registered at import time)
+    avoids that entirely.
+    """
+
+    _ckptr = None
+    _executor = None
+    _pending = None
+
+    @classmethod
+    def _get(cls):
+        if cls._ckptr is None:
+            import concurrent.futures
+            import orbax.checkpoint as ocp
+
+            cls._ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+            cls._executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="cmf-ckpt"
+            )
+            try:
+                import threading
+
+                threading._register_atexit(cls.wait_until_finished)
+            except Exception:
+                atexit.register(cls.wait_until_finished)
+        return cls._ckptr
+
+    @classmethod
+    def wait_until_finished(cls):
+        if cls._pending is not None:
+            pending, cls._pending = cls._pending, None
+            pending.result()  # re-raises background save failures
+
+    @classmethod
+    def save(cls, dirpath, data):
+        import numpy as np
+        import jax
+        import orbax.checkpoint as ocp
+
+        ckptr = cls._get()
+        cls.wait_until_finished()  # one in-flight save per process
+        leaves, treedef = jax.tree.flatten(data)
+        arrays, aux = {}, {}
+        for i, leaf in enumerate(leaves):
+            if isinstance(leaf, (np.ndarray, jax.Array)):
+                arrays[str(i)] = np.asarray(leaf)
+            else:
+                aux[i] = leaf
+        meta = {"treedef": treedef, "aux": aux, "num_leaves": len(leaves)}
+        tmp = dirpath + ".meta.pkl.tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(meta, f)
+        os.replace(tmp, dirpath + ".meta.pkl")
+        cls._pending = cls._executor.submit(
+            ckptr.save, os.path.abspath(dirpath), args=ocp.args.PyTreeSave(arrays), force=True
+        )
+
+    @classmethod
+    def load(cls, dirpath):
+        import jax
+
+        ckptr = cls._get()
+        cls.wait_until_finished()
+        with open(dirpath + ".meta.pkl", "rb") as f:
+            meta = pickle.load(f)
+        arrays = ckptr.restore(os.path.abspath(dirpath))
+        leaves = [None] * meta["num_leaves"]
+        for i, v in meta["aux"].items():
+            leaves[i] = v
+        for k, v in arrays.items():
+            leaves[int(k)] = v
+        return jax.tree.unflatten(meta["treedef"], leaves)
+
+
+def _load_checkpoint_from(checkpoints_dir, tag):
+    """Backend auto-detection so resumes work regardless of the backend that
+    wrote the run (pickle first — the default — then orbax)."""
+    pkl = os.path.join(checkpoints_dir, f"{tag}.pkl")
+    if os.path.exists(pkl):
+        with open(pkl, "rb") as f:
+            return pickle.load(f)
+    orbax_dir = os.path.join(checkpoints_dir, f"{tag}.orbax")
+    if os.path.exists(orbax_dir + ".meta.pkl"):
+        return _OrbaxIO.load(orbax_dir)
+    raise FileNotFoundError(pkl)
 
 
 class Tee:
@@ -36,7 +139,17 @@ class Tee:
 
 
 class Writer:
-    def __init__(self, logdir, make_subdir=True, tag_group="", rundir_tail="", tee=True):
+    def __init__(
+        self,
+        logdir,
+        make_subdir=True,
+        tag_group="",
+        rundir_tail="",
+        tee=True,
+        checkpoint_backend="pickle",
+    ):
+        assert checkpoint_backend in ("pickle", "orbax")
+        self._ckpt_backend = checkpoint_backend
         if make_subdir:
             os.makedirs(logdir, exist_ok=True)
             timestamp = time.strftime("%b%d_%H-%M-%S")
@@ -101,8 +214,11 @@ class Writer:
         np.save(os.path.join(self.logdir, f"{tag}.npy"), array)
 
     def write_checkpoint(self, tag, data):
-        """Atomic write (writer.py:105-116)."""
+        """Atomic write (writer.py:105-116); orbax backend is async."""
         os.makedirs(self._checkpoints_dir, exist_ok=True)
+        if self._ckpt_backend == "orbax":
+            _OrbaxIO.save(os.path.join(self._checkpoints_dir, f"{tag}.orbax"), data)
+            return
         final_path = self._checkpoint_path(tag)
         tmp_path = final_path + ".tmp"
         with open(tmp_path, "wb") as f:
@@ -110,8 +226,7 @@ class Writer:
         os.replace(tmp_path, final_path)
 
     def load_checkpoint(self, tag):
-        with open(self._checkpoint_path(tag), "rb") as f:
-            return pickle.load(f)
+        return _load_checkpoint_from(self._checkpoints_dir, tag)
 
     @property
     def _checkpoints_dir(self):
@@ -152,5 +267,4 @@ class DummyWriter:
     def load_checkpoint(self, tag):
         if self.logdir is None:
             raise FileNotFoundError("DummyWriter has no logdir")
-        with open(os.path.join(self.logdir, "checkpoints", f"{tag}.pkl"), "rb") as f:
-            return pickle.load(f)
+        return _load_checkpoint_from(os.path.join(self.logdir, "checkpoints"), tag)

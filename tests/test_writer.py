@@ -65,3 +65,34 @@ def test_writer_rundir_timestamped(tmp_path):
     assert w.logdir.startswith(str(tmp_path))
     assert w.logdir.endswith("_tag")
     assert os.path.isdir(w.logdir)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    """Orbax backend: async array IO + exact pytree structure restore —
+    optax namedtuple states must come back as namedtuples (ROADMAP: multihost
+    async checkpointing)."""
+    import jax.numpy as jnp
+    import optax
+
+    opt = optax.adam(1e-3)
+    params = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros((3,))}
+    opt_state = opt.init(params)
+    ckpt = make_checkpoint(5, 17, params, {"bn": jnp.ones((3,))}, [opt_state], 0.25, 1,
+                           np.zeros((2,), np.uint32))
+
+    w = Writer(logdir=str(tmp_path), make_subdir=False, tee=False,
+               checkpoint_backend="orbax")
+    w.write_checkpoint("latest", ckpt)
+    restored = w.load_checkpoint("latest")
+
+    assert restored["epoch"] == 5 and restored["iteration"] == 17
+    np.testing.assert_array_equal(np.asarray(restored["params"]["w"]),
+                                  np.arange(6.0).reshape(2, 3))
+    # structure fidelity: the restored opt state must drive optax directly
+    r_state = restore_arrays(restored["opt_states"])[0]
+    grads = {"w": jnp.ones((2, 3)), "b": jnp.ones((3,))}
+    updates, _ = opt.update(grads, r_state)
+    assert set(updates) == {"w", "b"}
+    # backend auto-detection: DummyWriter load without the backend flag
+    d = DummyWriter(logdir=str(tmp_path))
+    assert d.load_checkpoint("latest")["epoch"] == 5
