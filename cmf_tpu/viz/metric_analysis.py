@@ -121,6 +121,33 @@ class ImageMetricDensityVisualizer:
         plt.close(fig)
 
         self._prominent_z_samples(density, variables, z, var_order, epoch, write_folder)
+        self._prominent_z_grids(density, variables, var_order, epoch, write_folder)
+
+    def _prominent_z_grids(self, density, variables, order, epoch, write_folder):
+        """Cumulative / combined / hierarchical prominent-z batteries
+        (visualizer.py:810-1064) — image models only."""
+        if np.asarray(self._x).ndim != 4:
+            return
+        rng = jax.random.PRNGKey(14545)
+        for name, fn, tag in (
+            ("samples_cumulative", prominent_z_cumulative, "prominent_z_cumulative"),
+            ("samples_sequential", prominent_z_combined, "prominent_z_combined"),
+            ("samples_hierarchical", prominent_z_hierarchical, "prominent_z_hierarchical"),
+        ):
+            imgs, nrow = fn(density, variables, order, rng)
+            grid = _image_grid(imgs, nrow)
+            fig, ax = plt.subplots(figsize=(12, 12 * grid.shape[0] / grid.shape[1]))
+            ax.imshow(grid.squeeze() if grid.shape[2] == 1 else grid, cmap="gray")
+            ax.set_aspect("auto")
+            ax.axis("off")
+            self._writer.write_figure(f"{tag}_epoch{epoch}", fig, global_step=epoch)
+            if write_folder is not None:
+                import os
+
+                savedir = os.path.join(write_folder, "plotted_samples_prominent_d")
+                os.makedirs(savedir, exist_ok=True)
+                fig.savefig(os.path.join(savedir, f"{name}.pdf"))
+            plt.close(fig)
 
     def _prominent_z_samples(self, density, variables, z, order, epoch, write_folder):
         """Sample sweeps along the most prominent latent axes
@@ -149,6 +176,174 @@ class ImageMetricDensityVisualizer:
             if write_folder is not None:
                 fig.savefig(f"{write_folder}/prominent_z.pdf")
             plt.close(fig)
+
+
+def _image_grid(images, nrow, pad=1):
+    """Stack (N, C, H, W) images into one normalized grid array (H', W', C)
+    — the torchvision.make_grid role in the reference's prominent-z plots."""
+    images = np.asarray(images, dtype=np.float64)
+    n, c, h, w = images.shape
+    lo = images.reshape(n, -1).min(axis=1)[:, None, None, None]
+    hi = images.reshape(n, -1).max(axis=1)[:, None, None, None]
+    images = (images - lo) / np.maximum(hi - lo, 1e-12)  # scale_each=True
+    ncol = nrow
+    nrows = int(np.ceil(n / ncol))
+    grid = np.ones((c, nrows * (h + pad) + pad, ncol * (w + pad) + pad))
+    for idx in range(n):
+        r, cidx = divmod(idx, ncol)
+        y, x = r * (h + pad) + pad, cidx * (w + pad) + pad
+        grid[:, y : y + h, x : x + w] = images[idx]
+    return np.moveaxis(grid, 0, 2)
+
+
+def _subgroup_latents(order, d):
+    """Latent dims split into 5 prominence subgroups, most prominent first
+    (reference visualizer.py:810-1064 ``np.array_split`` convention)."""
+    order = np.asarray(order)
+    return [np.asarray(g) for g in np.array_split(order, min(5, d))]
+
+
+def prominent_z_cumulative(density, variables, order, rng, bs=10):
+    """Cumulative prominent-z grid (visualizer.py:810-871): seeded random
+    latents with progressively more prominence-subgroups active (the rest
+    zeroed), decoded through ``fixed_sample``; one grid row per activation
+    level → samples_cumulative.pdf."""
+    d = len(order)
+    groups = _subgroup_latents(order, d)
+    z = jax.random.normal(rng, (bs, d))
+    rows, active = [], np.zeros(d, np.float32)
+    for g in groups:
+        active[g] = 1.0
+        rows.append(np.asarray(density.fixed_sample(variables, noise=z * active)))
+    return np.concatenate(rows, axis=0), bs
+
+
+def prominent_z_combined(density, variables, order, rng, bs=10):
+    """Combined prominent-z grid (visualizer.py:872-965): every contiguous
+    subgroup range [start..end] activated in turn, each row tagged with an
+    indicator tile marking the active dims → samples_sequential.pdf."""
+    d = len(order)
+    groups = _subgroup_latents(order, d)
+    z = jax.random.normal(rng, (bs, d))
+    x_probe = np.asarray(density.fixed_sample(variables, noise=z[:1]))
+    c, h, w = x_probe.shape[1:]
+
+    ncols = int(np.ceil(np.sqrt(d)))
+    nrows_sq = int(np.ceil(d / ncols))
+    sq = max(1, h // max(ncols, nrows_sq))
+
+    rows = []
+    for start in range(len(groups)):
+        for end in range(start, len(groups)):
+            active = np.zeros(d, np.float32)
+            for g in groups[start : end + 1]:
+                active[g] = 1.0
+            imgs = np.asarray(density.fixed_sample(variables, noise=z * active))
+            indicator = np.full((1, c, h, w), 255.0, np.float32)
+            for pos, dim in enumerate(np.asarray(order)):
+                if active[dim]:
+                    ii, jj = divmod(pos, ncols)
+                    indicator[0, :, ii * sq : ii * sq + sq - 1, jj * sq : jj * sq + sq - 1] = 0.0
+            rows.append(np.concatenate([imgs, indicator], axis=0))
+    return np.concatenate(rows, axis=0), bs + 1
+
+
+def prominent_z_hierarchical(density, variables, order, rng, bs=4):
+    """Hierarchical prominent-z grid (visualizer.py:966-1064): a 4-level
+    binary tree over the top prominence subgroups — level k assigns subgroup
+    values by the binary expansion of the column index, showing how each
+    subgroup refines the samples → samples_hierarchical.pdf."""
+    d = len(order)
+    groups = _subgroup_latents(order, d)
+    k_levels = min(4, len(groups))
+    seeds = np.asarray(jax.random.normal(rng, (2 * bs, max(len(g) for g in groups))))
+
+    x_probe = np.asarray(density.fixed_sample(variables, noise=jnp.zeros((1, d))))
+    blank = np.full((1,) + x_probe.shape[1:], 255.0, np.float32)
+    full_cols = bs * 2 ** (k_levels - 1)
+
+    level_rows = []
+    for level in range(1, k_levels + 1):
+        n = bs * 2 ** (level - 1)
+        z = np.zeros((n, d), np.float32)
+        for j in range(n):
+            for gi in range(level):
+                idx = (j >> (level - 1 - gi)) % 2 if gi > 0 else j >> (level - 1)
+                g = groups[gi]
+                z[j, g] = seeds[idx, : len(g)]
+        imgs = np.asarray(density.fixed_sample(variables, noise=jnp.asarray(z)))
+        pad = (full_cols - n) // 2
+        row = np.concatenate([np.repeat(blank, pad, 0), imgs, np.repeat(blank, full_cols - n - pad, 0)], axis=0)
+        level_rows.append(row)
+    return np.concatenate(level_rows, axis=0), full_cols
+
+
+def rips_betti(points, max_points=256, scale=1.0):
+    """Betti-0/1 of the Vietoris–Rips (flag) complex on sampled manifold
+    points — the genuine persistent-homology counterpart of the reference's
+    metric-rank proxy (visualizer.py:2141-2144 counts positive eigenvalues of
+    g·gᵀ, i.e. local intrinsic dimension, and labels it "Betti").
+
+    ε is ``scale`` × the median nearest-neighbour distance; b0 from
+    union-find over ε-edges, b1 via the Euler characteristic of the clique
+    complex truncated at 2-simplices (b1 = b0 − V + E − T, exact when the
+    complex has no higher-dimensional homology).
+    """
+    pts = np.asarray(points)[:max_points].reshape(len(points[:max_points]), -1)
+    n = len(pts)
+    d2 = np.sum((pts[:, None] - pts[None]) ** 2, axis=-1)
+    nn = np.sqrt(np.partition(d2 + np.eye(n) * 1e18, 1, axis=1)[:, 1])
+    eps = scale * np.median(nn) * 2.0
+    adj = (np.sqrt(d2) <= eps) & ~np.eye(n, dtype=bool)
+
+    parent = np.arange(n)
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    edges = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if adj[i, j]:
+                edges += 1
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[ri] = rj
+    b0 = len({find(i) for i in range(n)})
+    adj_f = adj.astype(np.float64)
+    triangles = int(round(np.trace(adj_f @ adj_f @ adj_f) / 6.0))
+    b1 = max(0, b0 - n + edges - triangles)
+    return b0, b1
+
+
+def per_z_invariants(density, variables, z_rows, labels=None):
+    """The reference's per-latent-row topological battery
+    (visualizer.py:2111-2156): winding det(JJᵀ), degree Σ sign(det g),
+    volume distortion |det g|^½, metric-rank ("Betti" in the reference's
+    naming), curvature tr(g) — plus the Rips b0/b1 of the decoded row."""
+    out = []
+    for row_idx, zs in enumerate(z_rows):
+        J = decoder_jacobian(density, variables, jnp.asarray(zs))  # (B, D, d)
+        g = jnp.einsum("bDi,bDj->bij", J, J, precision=jax.lax.Precision.HIGHEST)
+        sign, logdet = jnp.linalg.slogdet(g)
+        eig = jnp.linalg.eigvalsh(g)
+        rank = jnp.sum(eig > 1e-6 * jnp.max(eig, axis=1, keepdims=True), axis=1)
+        decoded = np.asarray(density.decode(variables, jnp.asarray(zs), train=False))
+        b0, b1 = rips_betti(decoded)
+        out.append({
+            "label": labels[row_idx] if labels else f"row{row_idx}",
+            "winding": float(jnp.mean(sign * jnp.exp(logdet))),
+            "degree": float(jnp.sum(sign)),
+            "volume_distortion": float(jnp.mean(jnp.exp(0.5 * logdet))),
+            "metric_rank": float(jnp.mean(rank)),
+            "curvature": float(jnp.mean(jnp.trace(g, axis1=-2, axis2=-1))),
+            "rips_b0": b0,
+            "rips_b1": b1,
+        })
+    return out
 
 
 def cumulative_dim_fid(density, variables, x_ref, rng, dims_order, feature_fn=None,
@@ -297,14 +492,27 @@ class HighDimensionalNonSquareVisualizer:
                       "volume_distortion_std": float(np.std(vol)),
                       "macs": macs_value}
         sweeps = {}
+        z_rows, row_labels = [], []
         for k in range(min(3, z.shape[1])):
             t = jnp.linspace(-2.0, 2.0, 64)
             zs = jnp.tile(mean_z, (64, 1)).at[:, k].set(mean_z[k] + t * std_z[k])
             curve = np.asarray(density.decode(variables, zs, train=False))
             sweeps[k] = curve
+            z_rows.append(np.asarray(zs))
+            row_labels.append(f"z_{k}")
             invariants[f"axis{k}_winding_xy"] = winding_number(curve[:, :2])
             invariants[f"axis{k}_curvature"] = discrete_curvature(curve)
         self._writer.write_json(f"invariants_epoch{epoch}", invariants)
+
+        # Per-row topological battery (visualizer.py:2111-2156): winding /
+        # degree / volume-distortion / metric-rank / curvature, plus genuine
+        # Vietoris–Rips b0/b1 of the decoded rows (ROADMAP: "Betti via
+        # persistent homology").
+        z_all = np.asarray(z[:64])
+        battery = per_z_invariants(
+            density, variables, [z_all] + z_rows, labels=["z_all"] + row_labels
+        )
+        self._writer.write_json(f"topological_battery_epoch{epoch}", battery)
 
         fig, axes = plt.subplots(1, 2, figsize=(10, 4))
         im0 = axes[0].imshow(mean_absJ, aspect="auto", cmap="viridis")

@@ -123,3 +123,66 @@ def test_cumulative_dim_fid(rng):
     assert len(curve) == 2
     assert all(np.isfinite(curve))
     assert curve[1] <= curve[0] + 1e-6  # more dims ⇒ no worse fit
+
+
+def test_rips_betti_circle_and_clusters():
+    from cmf_tpu.viz.metric_analysis import rips_betti
+
+    theta = np.linspace(0, 2 * np.pi, 60, endpoint=False)
+    circle = np.stack([np.cos(theta), np.sin(theta)], 1)
+    b0, b1 = rips_betti(circle)
+    assert b0 == 1 and b1 >= 1  # one component, one loop
+
+    two = np.concatenate([circle * 0.1, circle * 0.1 + 10.0])
+    b0, _ = rips_betti(two)
+    assert b0 == 2
+
+
+class _StubImageDensity:
+    """fixed_sample renders the latent as a deterministic 1x8x8 image."""
+
+    def fixed_sample(self, variables, noise=None):
+        n, d = noise.shape
+        base = jnp.linspace(0, 255, 64).reshape(1, 1, 8, 8)
+        coef = jnp.sum(noise, axis=1).reshape(n, 1, 1, 1)
+        return np.asarray(base + coef)
+
+
+def test_prominent_z_grid_batteries(rng):
+    from cmf_tpu.viz.metric_analysis import (
+        prominent_z_combined,
+        prominent_z_cumulative,
+        prominent_z_hierarchical,
+        _image_grid,
+    )
+
+    density = _StubImageDensity()
+    order = np.arange(10)[::-1]
+    for fn, expect_rows in (
+        (prominent_z_cumulative, None),
+        (prominent_z_combined, None),
+        (prominent_z_hierarchical, None),
+    ):
+        imgs, nrow = fn(density, None, order, rng)
+        assert imgs.ndim == 4 and imgs.shape[1:] == (1, 8, 8)
+        assert imgs.shape[0] % 1 == 0 and nrow > 1
+        grid = _image_grid(imgs, nrow)
+        assert grid.ndim == 3 and np.isfinite(grid).all()
+    # combined: 5 subgroups => 15 (start,end) ranges, each bs+1 rows with the
+    # indicator tile appended (visualizer.py:872-965)
+    imgs, nrow = prominent_z_combined(density, None, order, rng)
+    assert nrow == 11 and imgs.shape[0] == 15 * 11
+
+
+def test_per_z_invariants_battery(rng):
+    from cmf_tpu.viz.metric_analysis import per_z_invariants
+
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    z_rows = [np.asarray(jax.random.normal(rng, (24, 2)))]
+    battery = per_z_invariants(head, variables, z_rows, labels=["z_all"])
+    rec = battery[0]
+    assert rec["label"] == "z_all"
+    for k in ("winding", "degree", "volume_distortion", "metric_rank",
+              "curvature", "rips_b0", "rips_b1"):
+        assert np.isfinite(rec[k]), k
+    assert rec["metric_rank"] == pytest.approx(2.0)
