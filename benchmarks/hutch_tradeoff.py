@@ -1,0 +1,129 @@
+"""Hutchinson probe-count vs CG-iteration tradeoff on the image hot path.
+
+ROADMAP item ("Optimal Stochastic Trace Estimation", PAPERS.md): the mnist
+non-square step is dominated by the sequential CG solve — each iteration is a
+JVP+VJP pass through the linearized multiscale decode at batch B, while S
+probes ride the SAME pass vmapped (effective conv batch B·S). More probes are
+therefore nearly free per iteration but reduce estimator variance, whereas
+more iterations cost wall-clock linearly. This script measures, per (S,
+max_cg_iterations) cell:
+
+  * ms/step of the full train step (fwd+bwd+adam),
+  * the bias proxy |E[surrogate] − exact log-det| and the std of the
+    surrogate across probe draws (exact log-det from the Cholesky path).
+
+Usage:  python benchmarks/hutch_tradeoff.py [dataset]
+Prints one JSON line per cell.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main(dataset="mnist"):
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    cache = os.path.join(os.path.expanduser("~/.cache/cmf_tpu_xla"), jax.default_backend())
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from cmf_tpu.config import expand_grid, get_config, get_schema
+    from cmf_tpu.models import get_density
+
+    base = get_config(dataset, "non-square", use_baseline=False)
+    base = expand_grid(base)[0]
+    base["seed"] = 0
+    batch = base["train_batch_size"]
+    x_shape = (1, 28, 28) if dataset in ("mnist", "fashion-mnist") else (3, 32, 32)
+    rng = np.random.default_rng(0)
+    N = 5
+    batches = jnp.asarray(rng.uniform(0, 255, size=(N, batch, *x_shape)), jnp.float32)
+
+    def build(S, max_iter):
+        cfg = dict(base)
+        cfg["hutchinson_samples"] = S
+        cfg["max_cg_iterations"] = max_iter
+        density = get_density(get_schema(cfg), x_shape=x_shape)
+        variables = density.init(jax.random.PRNGKey(0))
+        return cfg, density, variables
+
+    def step_ms(cfg, density, variables):
+        opt = optax.adam(cfg["lr"])
+        opt_state = opt.init(variables["params"])
+
+        def body(carry, x):
+            params, state, opt_state, key = carry
+            key, sub = jax.random.split(key)
+
+            def loss_fn(p):
+                info, ns = density.elbo(
+                    {"params": p, "state": state}, x, rng=sub, train=True,
+                    likelihood_wt=1.0, add_reconstruction=True,
+                )
+                return -jnp.mean(info["elbo"]), ns
+
+            (_, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state, key), 0.0
+
+        @jax.jit
+        def run(carry, xs):
+            return jax.lax.scan(body, carry, xs)
+
+        init = (variables["params"], variables["state"], opt_state, jax.random.PRNGKey(1))
+        carry, out = run(init, batches)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        carry, out = run(init, batches)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / N * 1e3
+
+    def estimator_stats(cfg, density, variables, draws=8):
+        """Surrogate log-det mean/std across probe draws vs the exact value."""
+        x = batches[0]
+
+        @jax.jit
+        def surrogate(key):
+            info, _ = density.elbo(
+                variables, x, rng=key, train=True,
+                likelihood_wt=1.0, add_reconstruction=False,
+            )
+            return jnp.mean(info["elbo"])
+
+        @jax.jit
+        def exact():
+            info, _ = density.elbo(
+                variables, x, rng=jax.random.PRNGKey(0), train=False,
+                likelihood_wt=1.0, add_reconstruction=False,
+            )
+            return jnp.mean(info["elbo"])
+
+        vals = np.array([float(surrogate(jax.random.PRNGKey(i))) for i in range(draws)])
+        return float(np.mean(vals)), float(np.std(vals)), float(exact())
+
+    S_iters = [(1, 20), (1, 10), (4, 10), (4, 5)]
+    for S, max_iter in S_iters:
+        cfg, density, variables = build(S, max_iter)
+        ms = step_ms(cfg, density, variables)
+        mean, std, exact_val = estimator_stats(cfg, density, variables)
+        print(json.dumps({
+            "hutchinson_samples": S,
+            "max_cg_iterations": max_iter,
+            "ms_per_step": round(ms, 2),
+            "samples_per_s": round(batch / ms * 1e3, 1),
+            "surrogate_mean": round(mean, 4),
+            "surrogate_std": round(std, 4),
+            "exact_elbo": round(exact_val, 4),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])

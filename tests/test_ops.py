@@ -110,3 +110,17 @@ def test_fused_gram_logdet_nan_on_rank_deficient(rng):
     assert cols.shape[0] == d
     _, ld = fused_gram_logdet(cols, True)
     assert not np.all(np.isfinite(np.asarray(ld)))
+
+
+def test_fused_gram_logdet_edge_shapes(rng):
+    """d=1 (1-D latent visualizer path) and B>128 (multi-block grid with lane
+    padding) must match the XLA path."""
+    from cmf_tpu.ops.pallas.gram_logdet import fused_gram_logdet
+
+    for d, B, D in ((1, 5, 7), (3, 200, 6)):
+        cols = jax.random.normal(jax.random.fold_in(rng, d), (d, B, D))
+        gram_k, ld_k = fused_gram_logdet(cols, True)
+        gram_r = gram_from_columns(cols)
+        ld_r, _ = cholesky_logdet(gram_r)
+        np.testing.assert_allclose(np.asarray(gram_k), np.asarray(gram_r), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ld_k), np.asarray(ld_r), rtol=1e-4, atol=1e-4)
