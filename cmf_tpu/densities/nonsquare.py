@@ -173,7 +173,15 @@ class NonSquareHeadDensity(Density):
 
         basis = jnp.eye(d, dtype=z.dtype)
         jac_cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
-        # jac_cols: (d, B, D)
+        # jac_cols: (d, B, D). The d tangent chains are embarrassingly
+        # parallel; when a column partition is set (parallel/mesh.py), pin
+        # them to the mesh's model axis so XLA splits the pushforward fan-out
+        # across chips and all-gathers only the (d, B, D) columns.
+        from ..parallel import jacobian_column_spec
+
+        spec = jacobian_column_spec()
+        if spec is not None:
+            jac_cols = jax.lax.with_sharding_constraint(jac_cols, spec)
         big_d = jac_cols.shape[-1]
         if fused_gram_logdet_available(d, big_d):
             # Fused Pallas Gram+Cholesky+log-det (ops/pallas/gram_logdet.py):

@@ -14,9 +14,35 @@ factory.py:74-82). Here:
   ``jax.make_array_from_process_local_data``.
 """
 
+import contextlib
+
 import numpy as np
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+# Trace-time partition spec for the non-square Jacobian columns (d, B, D) —
+# the d tangent pushforwards are embarrassingly parallel (SURVEY.md §5
+# "long-context analog") and shard over the mesh's "model" axis. Set it (like
+# nets.compute_dtype) before jitting a step variant; None ⇒ no constraint.
+_JAC_COLUMN_SPEC = [None]
+
+
+def set_jacobian_column_spec(spec):
+    _JAC_COLUMN_SPEC[0] = spec
+
+
+def jacobian_column_spec():
+    return _JAC_COLUMN_SPEC[0]
+
+
+@contextlib.contextmanager
+def jacobian_column_partition(spec):
+    old = _JAC_COLUMN_SPEC[0]
+    _JAC_COLUMN_SPEC[0] = spec
+    try:
+        yield
+    finally:
+        _JAC_COLUMN_SPEC[0] = old
 
 
 def initialize_multihost(coordinator_address=None, num_processes=None, process_id=None):
