@@ -31,6 +31,8 @@ Static (Python-level) flags — each combination compiles once:
   interpolation never recompiles.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,11 @@ from ..ops import (
 )
 
 _VALID_METHODS = ("cholesky", "hutch_with_cg")
+
+# Dense augmented-batch decode+Jacobian fast path (ops/decode_jac.py) for flat
+# RealNVP chains; set CMF_TPU_DENSE_DECODE=0 to force the generic
+# linearize+vmap path everywhere (debugging / A-B benchmarking).
+_DENSE_DECODE_ENABLED = os.environ.get("CMF_TPU_DENSE_DECODE", "1") != "0"
 
 
 class NonSquareHeadDensity(Density):
@@ -123,7 +130,9 @@ class NonSquareHeadDensity(Density):
         if not skip_likelihood:
             use_exact = (not train) or self.log_jacobian_method == "cholesky"
             if use_exact:
-                log_det, recon_flat, gram = self._exact_log_det(decode_flat, z)
+                log_det, recon_flat, gram = self._exact_log_det(
+                    decode_flat, z, pstate=pstate, variables=variables, train=train
+                )
                 if add_diagonal_metric_reg:
                     g_kk = jnp.diagonal(gram, axis1=-2, axis2=-1)
                     metric_l1 = jnp.sum(jnp.abs(g_kk), axis=1)
@@ -165,14 +174,31 @@ class NonSquareHeadDensity(Density):
         return {"elbo": elbo}, {"prior": pstate}
 
     # ---------------------------------------------------------- exact path
-    def _exact_log_det(self, decode_flat, z):
+    def _dense_decode_program(self):
+        """Cached dense augmented-batch program for flat chains, or None."""
+        if not hasattr(self, "_dense_prog_cache"):
+            if _DENSE_DECODE_ENABLED:
+                from ..ops.decode_jac import extract_dense_decode_program
+
+                self._dense_prog_cache = extract_dense_decode_program(self)
+            else:
+                self._dense_prog_cache = None
+        return self._dense_prog_cache
+
+    def _exact_log_det(self, decode_flat, z, pstate=None, variables=None, train=False):
         """(non_square.py:262-311) d basis-tangent pushforwards → Gram →
         jittered Cholesky log-det."""
         batch, d = z.shape
-        recon_flat, lin = jax.linearize(decode_flat, z)
-
-        basis = jnp.eye(d, dtype=z.dtype)
-        jac_cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
+        program = self._dense_decode_program() if pstate is not None else None
+        if program is not None:
+            # Fast path (ops/decode_jac.py): primal + d tangent columns as one
+            # (B, d+1, D) tensor through gather-free folded-weight layers.
+            pv = {"params": variables["params"]["prior"], "state": pstate}
+            recon_flat, jac_cols = program(pv, z, train=train)
+        else:
+            recon_flat, lin = jax.linearize(decode_flat, z)
+            basis = jnp.eye(d, dtype=z.dtype)
+            jac_cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
         # jac_cols: (d, B, D). The d tangent chains are embarrassingly
         # parallel; when a column partition is set (parallel/mesh.py), pin
         # them to the mesh's model axis so XLA splits the pushforward fan-out
