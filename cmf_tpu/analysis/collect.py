@@ -174,3 +174,63 @@ def fid_vs_dim_plot(runs_root, out_pdf):
     fig.savefig(out_pdf)
     plt.close(fig)
     return out_pdf
+
+
+def _method_label(lam):
+    """λ → legend label (collect_effective_z_fid_plot.py:110-117)."""
+    if lam in (0, 0.0, "0"):
+        return "RNF"
+    if str(lam) in ("0.1", "0.01"):
+        return "CMF"
+    return f"lam={lam}"
+
+
+def collect_effective_z(runs_root, which, datasets=None, dims=None, lambdas=None):
+    """Scan runs for ``test_metric/{fid,recon}.json`` effective-z curves
+    (reference analysis/collect_effective_z_{fid,mse}_plot.py:44-96).
+
+    ``which`` is "fid" or "recon". Returns {lambda: {effective_d: value}},
+    filtered by the optional dataset / latent-dimension / lambda whitelists.
+    Multiple runs with the same λ: the last one wins, matching the
+    reference's in-place overwrite (collect_effective_z_fid_plot.py:96).
+    """
+    assert which in ("fid", "recon")
+    curves = {}
+    for run_dir, config, _metrics in scan_runs(runs_root, require_metrics=False):
+        path = os.path.join(run_dir, "test_metric", f"{which}.json")
+        if not os.path.exists(path):
+            continue
+        if datasets and config.get("dataset") not in datasets:
+            continue
+        if dims and config.get("latent_dimension") not in dims:
+            continue
+        lam = config.get("metric_regularization_param")
+        if lambdas and lam not in lambdas:
+            continue
+        with open(path) as f:
+            curve = json.load(f)
+        curves[lam] = {int(k): float(v) for k, v in curve.items()}
+    return curves
+
+
+def effective_z_plot(runs_root, which, out_pdf, datasets=None, dims=None, lambdas=None):
+    """Effective-d curve plot, one line per λ
+    (collect_effective_z_{fid,mse}_plot.py:99-130)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    curves = collect_effective_z(runs_root, which, datasets, dims, lambdas)
+    fig, ax = plt.subplots(figsize=(4, 4))
+    for lam, curve in sorted(curves.items(), key=lambda kv: str(kv[0])):
+        ks = sorted(curve)
+        ax.plot(ks, [curve[k] for k in ks], "-o", ms=10, label=_method_label(lam))
+    ax.set_xlabel("effective d", fontsize=10)
+    ax.set_ylabel("FID score" if which == "fid" else r"$||x - \hat{x}||_2^2$", fontsize=10)
+    handles, labels = ax.get_legend_handles_labels()
+    ax.legend(handles[::-1], labels[::-1], loc=1, frameon=False, fontsize=10)
+    fig.tight_layout()
+    fig.savefig(out_pdf, bbox_inches="tight")
+    plt.close(fig)
+    return curves

@@ -70,6 +70,68 @@ def _river(rng, size, name):
     return data + rng.uniform(-0.02, 0.02, (size, 2))
 
 
+@register("circles")
+def _circles(rng, size, name):
+    # sklearn.make_circles(factor=.5, noise=0.08) semantics (two_d.py:120-122)
+    # without the dep: equally spaced outer/inner circles, shuffled, gaussian
+    # noise, then ×3.
+    n_out = size // 2
+    n_in = size - n_out
+    t_out = np.linspace(0, 2 * np.pi, n_out, endpoint=False)
+    t_in = np.linspace(0, 2 * np.pi, n_in, endpoint=False)
+    data = np.concatenate(
+        [
+            np.stack([np.cos(t_out), np.sin(t_out)], 1),
+            0.5 * np.stack([np.cos(t_in), np.sin(t_in)], 1),
+        ],
+        0,
+    )
+    data = data[rng.permutation(size)]
+    return (data + rng.normal(scale=0.08, size=data.shape)) * 3.0
+
+
+@register("cos")
+def _cos(rng, size, name):
+    x = rng.random(size) * 5 - 2.5
+    return np.stack([x, np.sin(x) * 2.5], 1)
+
+
+@register("pinwheel")
+def _pinwheel(rng, size, name):
+    """Five-arm pinwheel (two_d.py:174-191)."""
+    radial_std, tangential_std, num_classes, rate = 0.3, 0.1, 5, 0.25
+    num_per_class = size // num_classes
+    n = num_classes * num_per_class
+    rads = np.linspace(0, 2 * np.pi, num_classes, endpoint=False)
+    features = rng.standard_normal((n, 2)) * np.array([radial_std, tangential_std])
+    features[:, 0] += 1.0
+    labels = np.repeat(np.arange(num_classes), num_per_class)
+    angles = rads[labels] + rate * np.exp(features[:, 0])
+    rotations = np.stack(
+        [np.cos(angles), -np.sin(angles), np.sin(angles), np.cos(angles)]
+    )
+    rotations = np.reshape(rotations.T, (-1, 2, 2))
+    data = 2 * np.einsum("ti,tij->tj", features, rotations)[rng.permutation(n)]
+    if n < size:  # size not divisible by 5: pad by resampling (reference drops)
+        data = np.concatenate([data, data[rng.integers(0, n, size - n)]], 0)
+    return data
+
+
+@register("sawtooth")
+def _sawtooth(rng, size, name):
+    u = rng.random(size)
+    branch = u < 0.5
+    x1 = np.where(branch, -1 - np.sqrt(np.abs(1 - 2 * u)), 1 + np.sqrt(np.abs(2 * u - 1)))
+    return np.stack([x1, rng.random(size)], 1)
+
+
+@register("quadspline")
+def _quadspline(rng, size, name):
+    u = rng.random(size)
+    x1 = np.where(u < 0.5, -1 + np.cbrt(2 * u - 1), 1 + np.cbrt(2 * u - 1))
+    return np.stack([x1, rng.random(size)], 1)
+
+
 @register("swissroll")
 def _swissroll(rng, size, name):
     # sklearn.make_swiss_roll semantics (two_d.py:117-121) without the dep:
@@ -275,7 +337,7 @@ def _von_mises_circle(rng, size, name):
     return np.stack([np.cos(theta), np.sin(theta)], 1)
 
 
-@register("3d-von-mises-circle")
+@register("3d-von-mises-circle", "von-mises-sphere")
 def _von_mises_sphere(rng, size, name):
     theta = _vonmises(rng, 1.0, size, loc=np.pi / 2)
     phi = _vonmises(rng, 1.0, size, loc=np.pi / 2) / 2

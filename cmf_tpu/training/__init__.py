@@ -1,4 +1,5 @@
 from .experiment import (
+    centering_test_plots,
     generate_ood_metrics,
     load_run,
     ood_classification,
@@ -17,7 +18,7 @@ from .writer import DummyWriter, Writer
 
 __all__ = [
     "train", "test_and_visualize", "setup_experiment", "load_run",
-    "generate_ood_metrics", "ood_classification", "print_schema", "print_model", "visualize_two_dim_manifold", "metric_test_plots",
+    "generate_ood_metrics", "ood_classification", "print_schema", "print_model", "visualize_two_dim_manifold", "metric_test_plots", "centering_test_plots",
     "print_num_params", "Trainer", "Writer", "DummyWriter",
     "NonSquareObjective", "SquareObjective", "get_objective",
 ]

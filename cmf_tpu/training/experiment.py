@@ -483,6 +483,19 @@ def metric_test_plots(config, resume_dir, sharding=None):
     )
 
 
+def centering_test_plots(config, resume_dir, sharding=None):
+    """Run the centering visualizer over a trained run
+    (reference experiment.py:213-231 centering_test_plots)."""
+    config = {**config, "test_center": True, "use_fid": False}
+    setup = setup_experiment(
+        config, resume_dir=resume_dir, testing=True, write_to_disk=False, sharding=sharding
+    )
+    trainer = setup["trainer"]
+    setup["visualizer"].visualize(
+        setup["density"], trainer._eval_variables(), 0, write_folder=resume_dir
+    )
+
+
 def describe_density(density, indent=0):
     """Indented density/bijection tree description (torch's module print
     equivalent, experiment.py:341-346)."""

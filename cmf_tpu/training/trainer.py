@@ -155,9 +155,23 @@ class Trainer:
 
             (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             grad_norm = optax.global_norm(grads)
-            updates, opt_state = opt.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state, rng), (loss, grad_norm)
+            updates, new_opt_state = opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            # Freeze the carry on the first non-finite loss/grad: the scanned
+            # epoch must not let NaNs infect the donated params, so the
+            # post-epoch FloatingPointError (and its `nan_during_training'
+            # checkpoint) still holds the last finite state — the functional
+            # counterpart of the reference's per-step TerminateOnNan
+            # (cmf/trainer.py:139).
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+
+            def _keep(new, old):
+                return jax.tree.map(lambda n, o: jnp.where(ok, n, o), new, old)
+
+            params = _keep(new_params, params)
+            opt_state = _keep(new_opt_state, opt_state)
+            model_state = _keep(new_state, model_state)
+            return (params, model_state, opt_state, rng), (loss, grad_norm)
 
         return step
 
@@ -281,6 +295,10 @@ class Trainer:
                 )
         self.iteration += num_batches
         if not np.all(np.isfinite(losses)):
+            # The scan carry froze on the first bad step, so params here are
+            # the last finite state — checkpoint them for post-mortems
+            # (reference trainer.py:270,316-317 tagging).
+            self._save_checkpoint("nan_during_training")
             raise FloatingPointError(f"NaN/Inf loss during epoch {epoch}")
 
     # ------------------------------------------------------------ evaluation

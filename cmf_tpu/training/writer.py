@@ -67,6 +67,8 @@ class _OrbaxIO:
 
     @classmethod
     def save(cls, dirpath, data):
+        import uuid
+
         import numpy as np
         import jax
         import orbax.checkpoint as ocp
@@ -80,14 +82,34 @@ class _OrbaxIO:
                 arrays[str(i)] = np.asarray(leaf)
             else:
                 aux[i] = leaf
-        meta = {"treedef": treedef, "aux": aux, "num_leaves": len(leaves)}
-        tmp = dirpath + ".meta.pkl.tmp"
-        with open(tmp, "wb") as f:
-            pickle.dump(meta, f)
-        os.replace(tmp, dirpath + ".meta.pkl")
-        cls._pending = cls._executor.submit(
-            ckptr.save, os.path.abspath(dirpath), args=ocp.args.PyTreeSave(arrays), force=True
-        )
+        # Atomicity across the two artifacts (arrays dir + meta sidecar): a
+        # per-save token is embedded in BOTH, the meta replace happens only
+        # AFTER orbax finalizes the array dir (inside the async job), and
+        # load() verifies the tokens match.  A crash anywhere leaves either a
+        # fully consistent old pair, a consistent new pair, or a token
+        # mismatch that load() rejects loudly — never a silent new-meta /
+        # old-arrays restore.
+        token = uuid.uuid4().hex
+        arrays["__save_token__"] = np.frombuffer(
+            token.encode("ascii"), dtype=np.uint8
+        ).copy()
+        meta = {
+            "treedef": treedef,
+            "aux": aux,
+            "num_leaves": len(leaves),
+            "token": token,
+        }
+
+        def _save_job():
+            ckptr.save(
+                os.path.abspath(dirpath), args=ocp.args.PyTreeSave(arrays), force=True
+            )
+            tmp = dirpath + ".meta.pkl.tmp"
+            with open(tmp, "wb") as f:
+                pickle.dump(meta, f)
+            os.replace(tmp, dirpath + ".meta.pkl")
+
+        cls._pending = cls._executor.submit(_save_job)
 
     @classmethod
     def load(cls, dirpath):
@@ -98,6 +120,19 @@ class _OrbaxIO:
         with open(dirpath + ".meta.pkl", "rb") as f:
             meta = pickle.load(f)
         arrays = ckptr.restore(os.path.abspath(dirpath))
+        saved_token = arrays.pop("__save_token__", None)
+        if saved_token is not None or "token" in meta:
+            arr_token = (
+                bytes(bytearray(int(b) for b in saved_token)).decode("ascii")
+                if saved_token is not None
+                else None
+            )
+            if arr_token != meta.get("token"):
+                raise RuntimeError(
+                    f"orbax checkpoint {dirpath!r} is torn: meta token "
+                    f"{meta.get('token')!r} != array token {arr_token!r} "
+                    "(crash between array finalize and meta replace?)"
+                )
         leaves = [None] * meta["num_leaves"]
         for i, v in meta["aux"].items():
             leaves[i] = v
@@ -109,6 +144,7 @@ class _OrbaxIO:
 def _load_checkpoint_from(checkpoints_dir, tag):
     """Backend auto-detection so resumes work regardless of the backend that
     wrote the run (pickle first — the default — then orbax)."""
+    _OrbaxIO.wait_until_finished()  # meta sidecar lands at async-save commit
     pkl = os.path.join(checkpoints_dir, f"{tag}.pkl")
     if os.path.exists(pkl):
         with open(pkl, "rb") as f:

@@ -25,6 +25,15 @@ def get_visualizer(config, writer, train_data):
                 x_train=train_data,
                 num_elbo_samples=config["num_test_elbo_samples"],
             )
+        if config.get("test_center"):
+            # reference experiment.py:415-421 routing
+            from .metric_analysis import ImageCenteringDensityVisualizer
+
+            return ImageCenteringDensityVisualizer(
+                writer=writer,
+                x_train=train_data,
+                num_elbo_samples=config["num_test_elbo_samples"],
+            )
         return ImageDensityVisualizer(writer=writer)
 
     if x_shape == (2,):

@@ -14,6 +14,8 @@ no autograd-vs-replay mismatch (unlike the reference, which recomputes g via
 ``autograd.functional.jacobian`` of fixed_sample, visualizer.py:381-397).
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -122,6 +124,20 @@ class ImageMetricDensityVisualizer:
 
         self._prominent_z_samples(density, variables, z, var_order, epoch, write_folder)
         self._prominent_z_grids(density, variables, var_order, epoch, write_folder)
+        if write_folder is not None:
+            # test_metric/{recon,fid}.json effective-z curves
+            # (visualizer.py:688-718) — inputs to the effective-z CLIs.
+            import json
+
+            recon_dict, fid_dict = effective_z_curves(
+                density, variables, jnp.asarray(self._x), var_order
+            )
+            savedir = os.path.join(write_folder, "test_metric")
+            os.makedirs(savedir, exist_ok=True)
+            with open(os.path.join(savedir, "recon.json"), "w") as f:
+                json.dump(recon_dict, f, indent=4)
+            with open(os.path.join(savedir, "fid.json"), "w") as f:
+                json.dump(fid_dict, f, indent=4)
 
     def _prominent_z_grids(self, density, variables, order, epoch, write_folder):
         """Cumulative / combined / hierarchical prominent-z batteries
@@ -385,6 +401,33 @@ def cumulative_dim_fid(density, variables, x_ref, rng, dims_order, feature_fn=No
         mu, cov = activation_statistics(batches(), feature_fn)
         curve.append(frechet_distance(ref_mu, ref_cov, mu, cov))
     return curve
+
+
+def effective_z_curves(density, variables, x, order, feature_fn=None, num_steps=10):
+    """Reconstruction MSE and FID restricted to the top-k prominent latents
+    (reference visualizer.py:600-718): encode x, zero every latent axis
+    outside the k most prominent (``order``, most-prominent-first), decode,
+    and score against the originals.  Returns ({k: mse}, {k: fid}) keyed by
+    effective dimension — the payloads of ``test_metric/recon.json`` and
+    ``test_metric/fid.json`` that the effective-z analysis CLIs aggregate.
+    """
+    from ..eval.fid import activation_statistics, frechet_distance
+
+    x = jnp.asarray(x)
+    z = density.extract_latent(variables, x)
+    d = z.shape[1]
+    mult = max(1, d // num_steps)
+    dims = sorted({min(max(k * mult, 1), d) for k in range(num_steps + 1)})
+    ref_mu, ref_cov = activation_statistics(iter([x]), feature_fn)
+    order = np.asarray(order)
+    recons, fids = {}, {}
+    for k in dims:
+        active = jnp.zeros(d).at[jnp.asarray(order[:k])].set(1.0)
+        xhat = density.decode(variables, z * active, train=False)
+        recons[k] = float(jnp.mean((x - xhat) ** 2))
+        mu, cov = activation_statistics(iter([xhat]), feature_fn)
+        fids[k] = float(frechet_distance(ref_mu, ref_cov, mu, cov))
+    return recons, fids
 
 
 class ImageCenteringDensityVisualizer:

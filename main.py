@@ -59,6 +59,8 @@ def build_parser():
     parser.add_argument("--test-fid", action="store_true", help="Use test dataset for FID.")
     parser.add_argument("--test-ood", action="store_true", help="Test out-of-distribution metrics.")
     parser.add_argument("--test-metric", action="store_true", help="Test metric tensor.")
+    parser.add_argument("--test-center", action="store_true",
+                        help="Centering analysis plots (reference experiment.py:213 centering_test_plots).")
     parser.add_argument("--two-dim-manifold", action="store_true",
                         help="Visualize the two-dim manifold for image data when d=2.")
     parser.add_argument("--synthetic-data", action="store_true",
@@ -175,6 +177,7 @@ def main(argv=None):
         return
 
     from cmf_tpu.training import (
+        centering_test_plots,
         generate_ood_metrics,
         metric_test_plots,
         ood_classification,
@@ -212,6 +215,8 @@ def main(argv=None):
                 ood_classification(resume_dir=args.resume)
             elif args.test_metric:
                 metric_test_plots(config=c, resume_dir=args.resume, sharding=sharding)
+            elif args.test_center:
+                centering_test_plots(config=c, resume_dir=args.resume, sharding=sharding)
             else:
                 train(config=c, resume_dir=args.resume, sharding=sharding)
 

@@ -1,0 +1,86 @@
+"""Analysis-layer tests: effective-z curve computation, run-dir aggregation,
+and the effective-z CLIs over a synthetic runs/ directory (VERDICT r1 §7)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import jax
+import pytest
+
+from cmf_tpu.analysis import collect_effective_z, effective_z_plot
+from cmf_tpu.viz.metric_analysis import effective_z_curves
+from tests.test_nonsquare import build_nonsquare
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+def test_effective_z_curves_monotone_recon(rng):
+    """Reconstruction MSE must vanish at full effective d for on-manifold
+    inputs and be worse with fewer active latents (visualizer.py:600-718)."""
+    head, variables = build_nonsquare(D=4, d=2, key=rng)
+    x = head.sample(variables, jax.random.PRNGKey(1), 64)
+    order = np.array([0, 1])
+    recons, fids = effective_z_curves(head, variables, x, order)
+    assert set(recons) == {1, 2} and set(fids) == {1, 2}
+    assert recons[2] < 1e-6  # decode(extract_latent(x)) == x on-manifold
+    assert recons[1] > recons[2]
+    assert fids[2] < fids[1] + 1e-6
+    assert all(np.isfinite(v) for v in list(recons.values()) + list(fids.values()))
+
+
+def _make_synthetic_run(runs_root, dataset, lam, dim, fid_curve, recon_curve):
+    run = os.path.join(runs_root, dataset, f"run_lam{lam}")
+    os.makedirs(os.path.join(run, "test_metric"), exist_ok=True)
+    with open(os.path.join(run, "config.json"), "w") as f:
+        json.dump(
+            {"dataset": dataset, "metric_regularization_param": lam,
+             "latent_dimension": dim}, f)
+    with open(os.path.join(run, "test_metric", "fid.json"), "w") as f:
+        json.dump(fid_curve, f)
+    with open(os.path.join(run, "test_metric", "recon.json"), "w") as f:
+        json.dump(recon_curve, f)
+    return run
+
+
+def test_collect_effective_z_and_plot(tmp_path):
+    runs = str(tmp_path / "runs")
+    _make_synthetic_run(runs, "mnist", 0, 20, {"1": 30.0, "10": 12.0, "20": 5.0},
+                        {"1": 0.3, "10": 0.1, "20": 0.01})
+    _make_synthetic_run(runs, "mnist", 0.1, 20, {"1": 25.0, "10": 8.0, "20": 4.0},
+                        {"1": 0.2, "10": 0.05, "20": 0.01})
+    _make_synthetic_run(runs, "fashion-mnist", 0.1, 20, {"1": 99.0}, {"1": 9.0})
+
+    curves = collect_effective_z(runs, "fid", datasets=["mnist"])
+    assert set(curves) == {0, 0.1}
+    assert curves[0.1] == {1: 25.0, 10: 8.0, 20: 4.0}
+    # dim filter excludes everything when mismatched
+    assert collect_effective_z(runs, "fid", dims=[40]) == {}
+
+    out_pdf = str(tmp_path / "fid.pdf")
+    plotted = effective_z_plot(runs, "fid", out_pdf, datasets=["mnist"])
+    assert os.path.exists(out_pdf) and set(plotted) == {0, 0.1}
+
+
+@pytest.mark.parametrize("script", ["collect_effective_z_fid_plot.py",
+                                    "collect_effective_z_mse_plot.py"])
+def test_effective_z_cli(tmp_path, script):
+    runs = str(tmp_path / "runs")
+    _make_synthetic_run(runs, "mnist", 0, 20, {"1": 30.0, "20": 5.0},
+                        {"1": 0.3, "20": 0.01})
+    out = str(tmp_path / "plot.pdf")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "analysis", script),
+         "-d", runs, "--out", out],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(out)
+    assert "RNF" not in r.stderr

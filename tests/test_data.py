@@ -40,6 +40,45 @@ def test_2d_generator(name):
         assert data.shape[1] == 6
 
 
+@pytest.mark.parametrize(
+    "name,dim",
+    [("circles", 2), ("cos", 2), ("pinwheel", 2), ("sawtooth", 2),
+     ("quadspline", 2), ("von-mises-sphere", 3)],
+)
+def test_generator_only_datasets(name, dim):
+    """Generators the reference exposes via get_2d_data but does not list in
+    its config group (reference two_d.py:120,174,266,355,364,386)."""
+    data = get_2d_data(name, 255, seed=7)
+    assert data.shape == (255, dim)
+    assert np.all(np.isfinite(data))
+
+
+def test_circles_radii():
+    data = get_2d_data("circles", 2000, seed=0)
+    r = np.linalg.norm(data, axis=1)
+    # two rings at radius 3 and 1.5 (factor .5, scaled ×3) + noise 0.08·3
+    inner = r[r < 2.25]
+    outer = r[r >= 2.25]
+    assert abs(np.mean(outer) - 3.0) < 0.1
+    assert abs(np.mean(inner) - 1.5) < 0.1
+
+
+def test_sawtooth_quadspline_support():
+    for name in ("sawtooth", "quadspline"):
+        data = get_2d_data(name, 4000, seed=1)
+        assert np.all(np.abs(data[:, 0]) >= 1 - 1e-6) if name == "sawtooth" else True
+        assert np.all((data[:, 1] >= 0) & (data[:, 1] <= 1))
+        assert np.all(np.abs(data[:, 0]) <= 2 + 1e-6)
+
+
+def test_von_mises_sphere_on_unit_sphere():
+    data = get_2d_data("von-mises-sphere", 512, seed=2)
+    np.testing.assert_allclose(np.linalg.norm(data, axis=1), 1.0, atol=1e-5)
+    # identical distribution to the 3d-von-mises-circle alias
+    alias = get_2d_data("3d-von-mises-circle", 512, seed=2)
+    np.testing.assert_allclose(data, alias)
+
+
 def test_sphere_on_unit_sphere():
     data = get_2d_data("sphere", 1000, seed=0)
     radii = np.linalg.norm(data, axis=1)

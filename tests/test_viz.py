@@ -186,3 +186,18 @@ def test_per_z_invariants_battery(rng):
               "curvature", "rips_b0", "rips_b1"):
         assert np.isfinite(rec[k]), k
     assert rec["metric_rank"] == pytest.approx(2.0)
+
+
+def test_centering_visualizer_routing(writer):
+    """test_center selects ImageCenteringDensityVisualizer
+    (reference experiment.py:415-421)."""
+    from cmf_tpu.viz.metric_analysis import (
+        ImageCenteringDensityVisualizer,
+        ImageMetricDensityVisualizer,
+    )
+
+    data = np.zeros((16, 1, 4, 4), np.float32)
+    cfg = {**_cfg("mnist", 2), "test_center": True}
+    assert isinstance(get_visualizer(cfg, writer, data), ImageCenteringDensityVisualizer)
+    cfg = {**_cfg("mnist", 2), "test_metric": True}
+    assert isinstance(get_visualizer(cfg, writer, data), ImageMetricDensityVisualizer)

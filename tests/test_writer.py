@@ -96,3 +96,29 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     # backend auto-detection: DummyWriter load without the backend flag
     d = DummyWriter(logdir=str(tmp_path))
     assert d.load_checkpoint("latest")["epoch"] == 5
+
+
+def test_orbax_torn_checkpoint_rejected(tmp_path):
+    """A meta sidecar whose token mismatches the array payload (crash between
+    orbax finalize and meta replace) must fail loudly, never restore silently
+    (ADVICE r1: orbax atomicity)."""
+    import pickle
+
+    import jax.numpy as jnp
+
+    w = Writer(logdir=str(tmp_path), make_subdir=False, tee=False,
+               checkpoint_backend="orbax")
+    ckpt = make_checkpoint(1, 1, {"w": jnp.ones((2,))}, {}, [], 0.0, 0,
+                           np.zeros((2,), np.uint32))
+    w.write_checkpoint("latest", ckpt)
+    w.load_checkpoint("latest")  # sane roundtrip first
+
+    # Tear it: rewrite the meta with a different token (stale/new mismatch)
+    meta_path = os.path.join(w._checkpoints_dir, "latest.orbax.meta.pkl")
+    with open(meta_path, "rb") as f:
+        meta = pickle.load(f)
+    meta["token"] = "0" * 32
+    with open(meta_path, "wb") as f:
+        pickle.dump(meta, f)
+    with pytest.raises(RuntimeError, match="torn"):
+        w.load_checkpoint("latest")
