@@ -1,16 +1,23 @@
-"""Hutchinson probe-count vs CG-iteration tradeoff on the image hot path.
+"""Hutchinson solver / probe-count / CG-iteration tradeoff on the image path.
 
-ROADMAP item ("Optimal Stochastic Trace Estimation", PAPERS.md): the mnist
-non-square step is dominated by the sequential CG solve — each iteration is a
-JVP+VJP pass through the linearized multiscale decode at batch B, while S
-probes ride the SAME pass vmapped (effective conv batch B·S). More probes are
-therefore nearly free per iteration but reduce estimator variance, whereas
-more iterations cost wall-clock linearly. This script measures, per (S,
-max_cg_iterations) cell:
+ROADMAP item ("Optimal Stochastic Trace Estimation", PAPERS.md): with the
+iterative "cg" solver the mnist non-square step is dominated by the sequential
+CG solve — each iteration is a JVP+VJP pass through the linearized multiscale
+decode at batch B, while S probes ride the SAME pass vmapped (effective conv
+batch B·S). The "gram" solver (the default) replaces the whole iteration with
+one detached batched tangent fan-out (effective batch B·d) + an exact d×d
+Cholesky solve, so its cost is independent of S and iteration count.
+
+This script measures, per (solver, S, max_cg_iterations) cell:
 
   * ms/step of the full train step (fwd+bwd+adam),
-  * the bias proxy |E[surrogate] − exact log-det| and the std of the
-    surrogate across probe draws (exact log-det from the Cholesky path).
+  * surrogate-value drift |E[surrogate] − exact| and the std of the surrogate
+    across probe draws. NOTE the cg surrogate's *value* is by construction
+    ≈ εᵀε, not a log-det estimate — only its gradient is meaningful — so the
+    drift column measures value drift, not estimator bias. The gram solver's
+    value correction makes its drift ≈ 0 by construction. The exact reference
+    is computed train=True through the cholesky path on the SAME parameters,
+    so batch-norm statistics match (batch stats, not running stats).
 
 Usage:  python benchmarks/hutch_tradeoff.py [dataset]
 Prints one JSON line per cell.
@@ -46,8 +53,9 @@ def main(dataset="mnist"):
     N = 5
     batches = jnp.asarray(rng.uniform(0, 255, size=(N, batch, *x_shape)), jnp.float32)
 
-    def build(S, max_iter):
+    def build(solver, S, max_iter):
         cfg = dict(base)
+        cfg["hutchinson_solver"] = solver
         cfg["hutchinson_samples"] = S
         cfg["max_cg_iterations"] = max_iter
         density = get_density(get_schema(cfg), x_shape=x_shape)
@@ -87,8 +95,13 @@ def main(dataset="mnist"):
         return (time.perf_counter() - t0) / N * 1e3
 
     def estimator_stats(cfg, density, variables, draws=8):
-        """Surrogate log-det mean/std across probe draws vs the exact value."""
+        """Surrogate elbo mean/std across probe draws vs the exact train-mode
+        value (cholesky path, same params → identical batch-norm stats)."""
         x = batches[0]
+
+        cfg_exact = dict(cfg)
+        cfg_exact["log_jacobian_method"] = "cholesky"
+        density_exact = get_density(get_schema(cfg_exact), x_shape=x_shape)
 
         @jax.jit
         def surrogate(key):
@@ -100,8 +113,8 @@ def main(dataset="mnist"):
 
         @jax.jit
         def exact():
-            info, _ = density.elbo(
-                variables, x, rng=jax.random.PRNGKey(0), train=False,
+            info, _ = density_exact.elbo(
+                variables, x, rng=jax.random.PRNGKey(0), train=True,
                 likelihood_wt=1.0, add_reconstruction=False,
             )
             return jnp.mean(info["elbo"])
@@ -109,19 +122,28 @@ def main(dataset="mnist"):
         vals = np.array([float(surrogate(jax.random.PRNGKey(i))) for i in range(draws)])
         return float(np.mean(vals)), float(np.std(vals)), float(exact())
 
-    S_iters = [(1, 20), (1, 10), (4, 10), (4, 5)]
-    for S, max_iter in S_iters:
-        cfg, density, variables = build(S, max_iter)
+    cells = [
+        ("gram", 1, 20),
+        ("gram", 4, 20),
+        ("cg", 1, 20),
+        ("cg", 1, 10),
+        ("cg", 4, 10),
+        ("cg", 4, 5),
+    ]
+    for solver, S, max_iter in cells:
+        cfg, density, variables = build(solver, S, max_iter)
         ms = step_ms(cfg, density, variables)
         mean, std, exact_val = estimator_stats(cfg, density, variables)
         print(json.dumps({
+            "solver": solver,
             "hutchinson_samples": S,
             "max_cg_iterations": max_iter,
             "ms_per_step": round(ms, 2),
             "samples_per_s": round(batch / ms * 1e3, 1),
             "surrogate_mean": round(mean, 4),
             "surrogate_std": round(std, 4),
-            "exact_elbo": round(exact_val, 4),
+            "exact_train_elbo": round(exact_val, 4),
+            "surrogate_value_drift": round(abs(mean - exact_val), 4),
         }), flush=True)
 
 

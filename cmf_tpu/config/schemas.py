@@ -106,6 +106,13 @@ def apply_non_square_settings(schema, config):
             dropout_probability=0.0,
         )
 
+    # TPU-only extension key (not in the reference's schema language, so only
+    # emitted when explicitly configured — keeps schema parity byte-for-byte):
+    # selects the detached Hutchinson solve ("gram" exact / "cg" iterative /
+    # "auto" = gram for d ≤ 64). See densities/nonsquare.py::_approx_log_det.
+    if "hutchinson_solver" in config:
+        head_layer["hutchinson_solver"] = config["hutchinson_solver"]
+
     return [head_layer] + schema + tail_layers
 
 

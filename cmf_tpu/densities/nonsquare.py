@@ -43,9 +43,15 @@ from ..ops import (
     fused_gram_logdet,
     fused_gram_logdet_available,
     gram_from_columns,
+    spd_solve,
 )
 
 _VALID_METHODS = ("cholesky", "hutch_with_cg")
+_VALID_SOLVERS = ("auto", "gram", "cg")
+# Above this latent dimension the detached Gram build (d batched tangent
+# columns + d² solve) loses to iterative CG; every reference config is far
+# below it (images d=20, tabular d≤30 — images.py:131-152, tabular.py:282-288).
+_GRAM_SOLVER_MAX_D = 64
 
 # Dense augmented-batch decode+Jacobian fast path (ops/decode_jac.py) for flat
 # RealNVP chains; set CMF_TPU_DENSE_DECODE=0 to force the generic
@@ -65,9 +71,12 @@ class NonSquareHeadDensity(Density):
         max_cg_iterations=None,
         cg_tolerance=1.0,
         latent_dimension=None,
+        hutchinson_solver="auto",
     ):
         if log_jacobian_method not in _VALID_METHODS:
             raise ValueError(f"{log_jacobian_method} not a valid Jacobian calculation method")
+        if hutchinson_solver not in _VALID_SOLVERS:
+            raise ValueError(f"{hutchinson_solver} not a valid hutchinson solver")
         self.prior = prior
         self.regularization_param = regularization_param
         self.log_jacobian_method = log_jacobian_method
@@ -77,6 +86,7 @@ class NonSquareHeadDensity(Density):
         self.max_cg_iterations = max_cg_iterations
         self.cg_tolerance = cg_tolerance
         self.latent_dimension = latent_dimension
+        self.hutchinson_solver = hutchinson_solver
 
     def init(self, key):
         return merge_vars(prior=self.prior.init(key))
@@ -209,7 +219,11 @@ class NonSquareHeadDensity(Density):
         if spec is not None:
             jac_cols = jax.lax.with_sharding_constraint(jac_cols, spec)
         big_d = jac_cols.shape[-1]
-        if fused_gram_logdet_available(d, big_d):
+        # With a column partition active the fused pallas_call has no GSPMD
+        # partitioning rule — XLA would all-gather the columns onto every
+        # device, defeating the model-axis sharding. Use the XLA gram path
+        # (partitioned correctly by GSPMD) instead.
+        if spec is None and fused_gram_logdet_available(d, big_d):
             # Fused Pallas Gram+Cholesky+log-det (ops/pallas/gram_logdet.py):
             # batch on lanes, G and L never leave VMEM. NaN log-det (non-PD
             # Gram) falls back to the XLA jitter-retry path, preserving the
@@ -227,8 +241,30 @@ class NonSquareHeadDensity(Density):
         return log_det, recon_flat, gram
 
     # ------------------------------------------------------- stochastic path
+    def _resolved_hutch_solver(self, d):
+        if self.hutchinson_solver != "auto":
+            return self.hutchinson_solver
+        return "gram" if d <= _GRAM_SOLVER_MAX_D else "cg"
+
     def _approx_log_det(self, decode_flat, z, rng, train):
-        """(non_square.py:203-258) Hutchinson + CG surrogate."""
+        """(non_square.py:203-258) Hutchinson surrogate log-det.
+
+        The reference solves (JᵀJ)⁻¹ε with gpytorch's iterative CG — up to
+        ``max_cg_iterations`` *sequential* JVP+VJP passes through the decoder
+        (non_square.py:241-247). On TPU that is op-count bound: the solve is
+        fully detached, so no AD structure is needed — the default "gram"
+        solver instead pushes all d basis tangents through the linearized
+        decoder as ONE batched pass (B·d effective batch on the MXU), forms
+        the (B, d, d) Gram explicitly under stop-gradient, and solves exactly
+        by Cholesky. Gradient semantics are identical (the surrogate's
+        gradient flows only through the JᵀJε factor below, and an exact solve
+        makes the estimator's CG-truncation bias zero); as a bonus the
+        detached Cholesky yields the *exact* log-det value, which replaces the
+        meaningless surrogate value (≈ εᵀε) via value correction
+        ``sg(exact) + surr − sg(surr)`` — gradients untouched, reported
+        likelihoods real. Set ``hutchinson_solver='cg'`` for the reference's
+        iterative behavior (only sensible for d ≫ 64).
+        """
         batch, d = z.shape
         S = self.num_hutchinson_samples
         max_iter = self.max_cg_iterations or d
@@ -249,23 +285,44 @@ class NonSquareHeadDensity(Density):
             jtjv = jax.vmap(lambda c: lin_t(c)[0])(jv)        # (S, B, d)
             return jnp.moveaxis(jtjv, 0, -1)
 
-        # CG solve is detached (non_square.py:241-247): stop gradients both on
-        # the inputs to the iteration and on the result.
-        jtj_inv_eps = jax.lax.stop_gradient(
-            batched_cg(
-                lambda v: jtj_matvec(v),
-                jax.lax.stop_gradient(eps),
-                max_iter=max_iter,
-                tolerance=self.cg_tolerance,
+        gram = None
+        if self._resolved_hutch_solver(d) == "gram":
+            # One batched tangent fan-out (d columns), detached end to end.
+            basis = jnp.eye(d, dtype=z.dtype)
+            jac_cols = jax.lax.stop_gradient(
+                jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
             )
-        )
+            gram = gram_from_columns(jac_cols)                # (B, d, d)
+            sol, chol_l = spd_solve(gram, jax.lax.stop_gradient(eps))
+            jtj_inv_eps = jax.lax.stop_gradient(sol)
+            diag_l = jnp.diagonal(chol_l, axis1=-2, axis2=-1)
+            exact_log_det = jax.lax.stop_gradient(2.0 * jnp.sum(jnp.log(diag_l), axis=-1))
+        else:
+            # Reference CG semantics: detached iterative solve
+            # (non_square.py:241-247).
+            jtj_inv_eps = jax.lax.stop_gradient(
+                batched_cg(
+                    lambda v: jtj_matvec(v),
+                    jax.lax.stop_gradient(eps),
+                    max_iter=max_iter,
+                    tolerance=self.cg_tolerance,
+                )
+            )
 
         jtj_eps = jtj_matvec(eps)  # gradient flows through this factor
         # Surrogate whose gradient equals ∇ log|JᵀJ| (non_square.py:249-258).
-        approx_log_det = jnp.mean(jnp.sum(jtj_inv_eps * jtj_eps, axis=1), axis=-1)
-
+        surrogate = jnp.mean(jnp.sum(jtj_inv_eps * jtj_eps, axis=1), axis=-1)
         # Unbiased Hutchinson estimate of diag(JᵀJ) for the g_kk regulariser.
         diag_est = jnp.mean(eps * jtj_eps, axis=-1)  # (B, d)
+
+        if gram is not None:
+            # Value correction: exact log-det / exact diagonal as the VALUE,
+            # surrogate / Hutchinson gradient untouched.
+            approx_log_det = exact_log_det + surrogate - jax.lax.stop_gradient(surrogate)
+            diag_exact = jnp.diagonal(gram, axis1=-2, axis2=-1)  # detached
+            diag_est = diag_exact + diag_est - jax.lax.stop_gradient(diag_est)
+        else:
+            approx_log_det = surrogate
         return approx_log_det, recon_flat, diag_est
 
     # ------------------------------------------------------------- sampling

@@ -111,6 +111,7 @@ def get_density_recursive(schema, x_shape):
             max_cg_iterations=max_cg_iterations,
             cg_tolerance=layer_config["cg_tolerance"],
             latent_dimension=layer_config["latent_dimension"],
+            hutchinson_solver=layer_config.get("hutchinson_solver", "auto"),
         )
 
     if ty == "non-square-base":

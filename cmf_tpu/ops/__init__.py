@@ -1,5 +1,5 @@
 from .cg import batched_cg
-from .chol import jittered_cholesky, cholesky_logdet
+from .chol import jittered_cholesky, cholesky_logdet, spd_solve
 from .gram import gram_from_columns
 from .pallas import fused_gram_logdet, fused_gram_logdet_available
 
@@ -7,6 +7,7 @@ __all__ = [
     "batched_cg",
     "jittered_cholesky",
     "cholesky_logdet",
+    "spd_solve",
     "gram_from_columns",
     "fused_gram_logdet",
     "fused_gram_logdet_available",

@@ -117,6 +117,60 @@ def jittered_cholesky(gram):
     return L, total_jitter
 
 
+def _small_solve_lower(L, b):
+    """Forward substitution ``L y = b`` for small static d, batched.
+
+    Same rationale as ``_small_cholesky``: XLA's TriangularSolve HLO is blocked
+    and slow for small batched systems on TPU; d sequential vectorized column
+    updates win. b is (..., d, S)."""
+    d = L.shape[-1]
+    y = jnp.zeros_like(b)
+    for i in range(d):
+        s = b[..., i, :] - jnp.einsum(
+            "...k,...ks->...s", L[..., i, :], y, precision=jax.lax.Precision.HIGHEST
+        )
+        y = y.at[..., i, :].set(s / L[..., i, i][..., None])
+    return y
+
+
+def _small_solve_lower_t(L, b):
+    """Back substitution ``Lᵀ x = b`` for small static d, batched."""
+    d = L.shape[-1]
+    x = jnp.zeros_like(b)
+    for i in reversed(range(d)):
+        s = b[..., i, :] - jnp.einsum(
+            "...k,...ks->...s", L[..., :, i], x, precision=jax.lax.Precision.HIGHEST
+        )
+        x = x.at[..., i, :].set(s / L[..., i, i][..., None])
+    return x
+
+
+def spd_solve(gram, rhs):
+    """Solve ``G x = rhs`` for a batch of SPD matrices via jittered Cholesky.
+
+    Args:
+      gram: (..., d, d) SPD matrices.
+      rhs: (..., d, S) right-hand sides.
+
+    Returns:
+      (x, L): the solution (..., d, S) and the Cholesky factor (for log-det
+      reuse: ``2 Σ log diag L``). Non-PD inputs get the same escalating-jitter
+      treatment as ``jittered_cholesky`` (non_square.py:263-291 semantics).
+    """
+    L, _ = jittered_cholesky(gram)
+    if gram.shape[-1] <= _UNROLL_MAX:
+        y = _small_solve_lower(L, rhs)
+        x = _small_solve_lower_t(L, y)
+    else:
+        y = jax.lax.linalg.triangular_solve(
+            L, rhs, left_side=True, lower=True, transpose_a=False
+        )
+        x = jax.lax.linalg.triangular_solve(
+            L, y, left_side=True, lower=True, transpose_a=True
+        )
+    return x, L
+
+
 def cholesky_logdet(gram):
     """log|G| for a batch of SPD matrices via jittered Cholesky.
 

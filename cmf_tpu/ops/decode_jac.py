@@ -41,6 +41,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from ..nets.core import _matmul
+
 
 def _fetch(tree, path):
     for key in path:
@@ -146,13 +148,13 @@ class _DenseDecodeProgram:
             kind = step["kind"]
             if kind == "acl":
                 w1e, b1, mids, ws_e, bs_e, wl_e, bl_e = self._acl_weights(step, params)
-                H = X @ w1e + self._primal_bias(b1, d)
+                H = _matmul(X, w1e) + self._primal_bias(b1, d)
                 for layer in mids:
                     H = self._aug_act(H, step["activation"])
-                    H = H @ layer["w"] + self._primal_bias(layer["b"], d)
+                    H = _matmul(H, layer["w"]) + self._primal_bias(layer["b"], d)
                 H = self._aug_act(H, step["activation"])
-                S = H @ ws_e + self._primal_bias(bs_e, d)
-                L = H @ wl_e + self._primal_bias(bl_e, d)
+                S = _matmul(H, ws_e) + self._primal_bias(bs_e, d)
+                L = _matmul(H, wl_e) + self._primal_bias(bl_e, d)
                 E0 = jnp.exp(-L[:, :1])
                 out0 = E0 * X[:, :1] - S[:, :1]
                 outt = E0 * (X[:, 1:] - X[:, :1] * L[:, 1:]) - S[:, 1:]

@@ -23,7 +23,9 @@ from cmf_tpu.densities import (
 from cmf_tpu.nets import MLP
 
 
-def build_nonsquare(D=4, d=2, method="cholesky", m_flow=False, num_hutch=2, key=None):
+def build_nonsquare(
+    D=4, d=2, method="cholesky", m_flow=False, num_hutch=2, key=None, solver="auto"
+):
     """Tiny flat-realnvp-over-tail stack mirroring the 2-D config shape
     (two_d.py:268-310 → flat-realnvp + affine prior semantics)."""
 
@@ -57,6 +59,7 @@ def build_nonsquare(D=4, d=2, method="cholesky", m_flow=False, num_hutch=2, key=
         max_cg_iterations=d,
         cg_tolerance=1e-6,
         latent_dimension=d,
+        hutchinson_solver=solver,
     )
     variables = head.init(key if key is not None else jax.random.PRNGKey(0))
     return head, variables
@@ -113,7 +116,9 @@ def test_hutchinson_cg_close_to_exact_value(rng):
     """With tight CG tolerance and many probes the surrogate's *value* is the
     Hutchinson estimate of tr[(JᵀJ)⁻¹(JᵀJ)] = d ... its gradient is what
     matters; sanity-check the value within MC error on a fixed map."""
-    head, variables = build_nonsquare(D=4, d=2, method="hutch_with_cg", num_hutch=64, key=rng)
+    head, variables = build_nonsquare(
+        D=4, d=2, method="hutch_with_cg", num_hutch=64, key=rng, solver="cg"
+    )
     x = jax.random.normal(jax.random.fold_in(rng, 9), (2, 4))
     (pv,) = ({"params": variables["params"]["prior"], "state": variables["state"]["prior"]},)
     prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=False)
@@ -124,6 +129,61 @@ def test_hutchinson_cg_close_to_exact_value(rng):
     # Surrogate value ≈ tr[(JᵀJ)⁻¹ JᵀJ] = d exactly (per-sample), independent
     # of J — this is the stop-gradient construction (non_square.py:249-258).
     np.testing.assert_allclose(np.asarray(approx), 2.0, rtol=0.2)
+
+
+def test_hutchinson_gram_solver_value_is_exact_logdet(rng):
+    """The gram solver's value correction returns the *exact* log-det (with
+    the surrogate's gradient): value must match the exact Cholesky path even
+    with a single probe."""
+    head, variables = build_nonsquare(
+        D=4, d=2, method="hutch_with_cg", num_hutch=1, key=rng, solver="gram"
+    )
+    x = jax.random.normal(jax.random.fold_in(rng, 9), (3, 4))
+    (pv,) = ({"params": variables["params"]["prior"], "state": variables["state"]["prior"]},)
+    prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=False)
+    decode_flat = head._decode_fns(variables, pstate, False)
+    approx, recon_a, _ = head._approx_log_det(
+        decode_flat, prior_info["low_dim_x"], jax.random.fold_in(rng, 11), True
+    )
+    exact, recon_e, _ = head._exact_log_det(decode_flat, prior_info["low_dim_x"])
+    np.testing.assert_allclose(np.asarray(approx), np.asarray(exact), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon_a), np.asarray(recon_e), rtol=1e-5, atol=1e-5)
+
+
+def test_hutchinson_gram_solver_gradient_matches_exact(rng):
+    """Gram-solver surrogate gradient vs exact-path gradient: the exact solve
+    removes CG truncation bias, so with enough probes the MC estimate lands on
+    the true log-det gradient."""
+    head_e, variables = build_nonsquare(D=4, d=2, method="cholesky", key=rng)
+    head_g, _ = build_nonsquare(
+        D=4, d=2, method="hutch_with_cg", num_hutch=400, key=rng, solver="gram"
+    )
+    x = jax.random.normal(jax.random.fold_in(rng, 13), (2, 4))
+
+    def logdet_loss(params, head, method_rng, exact):
+        v = {"params": params, "state": variables["state"]}
+        pv = {"params": params["prior"], "state": variables["state"]["prior"]}
+        prior_info, pstate = head.prior.elbo(pv, x, rng=None, train=True)
+        decode_flat = head._decode_fns(v, pstate, True)
+        if exact:
+            ld, _, _ = head._exact_log_det(decode_flat, prior_info["low_dim_x"])
+        else:
+            ld, _, _ = head._approx_log_det(
+                decode_flat, prior_info["low_dim_x"], method_rng, True
+            )
+        return jnp.sum(ld)
+
+    g_exact = jax.grad(lambda p: logdet_loss(p, head_e, None, True))(variables["params"])
+    g_gram = jax.grad(
+        lambda p: logdet_loss(p, head_g, jax.random.fold_in(rng, 17), False)
+    )(variables["params"])
+
+    flat_e, _ = ravel_pytree(g_exact)
+    flat_g, _ = ravel_pytree(g_gram)
+    cos = jnp.dot(flat_e, flat_g) / (jnp.linalg.norm(flat_e) * jnp.linalg.norm(flat_g))
+    assert float(cos) > 0.95, f"cosine similarity {float(cos)}"
+    ratio = float(jnp.linalg.norm(flat_g) / jnp.linalg.norm(flat_e))
+    assert 0.7 < ratio < 1.3, f"norm ratio {ratio}"
 
 
 def test_surrogate_gradient_matches_exact(rng):

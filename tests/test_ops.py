@@ -4,7 +4,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmf_tpu.ops import batched_cg, cholesky_logdet, gram_from_columns, jittered_cholesky
+from cmf_tpu.ops import (
+    batched_cg,
+    cholesky_logdet,
+    gram_from_columns,
+    jittered_cholesky,
+    spd_solve,
+)
 
 
 def _random_spd(rng, batch, d, cond=10.0):
@@ -51,6 +57,27 @@ def test_jittered_cholesky_rescues_singular(rng):
     assert np.all(np.isfinite(np.asarray(L)))
     ld, _ = cholesky_logdet(A)
     assert np.all(np.isfinite(np.asarray(ld)))
+
+
+def test_spd_solve_matches_dense_solve(rng):
+    """Unrolled triangular substitution path (d ≤ 64): G x = rhs."""
+    A = _random_spd(rng, 4, 7)
+    rhs = jax.random.normal(jax.random.fold_in(rng, 1), (4, 7, 3))
+    x, L = spd_solve(A, rhs)
+    expected = np.linalg.solve(np.asarray(A), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=1e-3, atol=1e-4)
+    # Returned factor supports log-det reuse
+    ld = 2.0 * np.sum(np.log(np.diagonal(np.asarray(L), axis1=-2, axis2=-1)), axis=-1)
+    np.testing.assert_allclose(ld, np.linalg.slogdet(np.asarray(A))[1], rtol=1e-4)
+
+
+def test_spd_solve_large_d_triangular_solve_path(rng):
+    """d > 64 routes through lax triangular_solve; same answer."""
+    A = _random_spd(rng, 2, 70, cond=5.0)
+    rhs = jax.random.normal(jax.random.fold_in(rng, 2), (2, 70, 2))
+    x, _ = spd_solve(A, rhs)
+    expected = np.linalg.solve(np.asarray(A), np.asarray(rhs))
+    np.testing.assert_allclose(np.asarray(x), expected, rtol=2e-3, atol=1e-3)
 
 
 def test_cholesky_logdet_matches_slogdet(rng):
