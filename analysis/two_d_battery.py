@@ -1,0 +1,141 @@
+#!/usr/bin/env python3
+"""5-seed 2-D non-square quality battery — the in-container correctness oracle.
+
+The reference's de-facto quality check for the non-square machinery is the 2-D
+synthetic suite (SURVEY.md §4.3): the von-Mises-circle pullback density against
+its closed form (reference cmf/visualizer.py:1575-1583) and convergence of the
+sphere / fuzzy-line / sinusoid manifold runs. This script trains
+``--seeds`` full runs per dataset through the public experiment API, tests
+each (metrics.json), computes the von-Mises pullback KL for the circle, and
+aggregates mean ± stderr into a markdown table (the reference's 5-seed
+protocol, analysis/tabular_evaluate.py:21,99-108).
+
+Usage:
+    python analysis/two_d_battery.py [--seeds 5] [--epochs N]
+        [--datasets von-mises-circle sphere fuzzy-line sinusoid]
+        [--runs-dir runs_battery] [--out RESULTS.md]
+
+Quality metrics per run:
+  * test elbo (pure likelihood, regularizers off — experiment.py:605-606)
+  * test reconstruction error
+  * von-mises-circle only: KL(ground truth ‖ model) along the unit circle,
+    both densities normalized over the θ grid; the model restricted to the
+    manifold is exp(elbo) w.r.t. the manifold volume measure.
+"""
+
+import argparse
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def von_mises_circle_kl(density, variables, num=1000):
+    """KL(vonMises(κ=1, loc=π/2) ‖ p_model) on a θ grid along the unit circle."""
+    import jax.numpy as jnp
+    from scipy.special import i0
+
+    theta = np.linspace(-np.pi, np.pi, num=num, endpoint=False)
+    xy = np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
+    info, _ = density.elbo(variables, jnp.asarray(xy), train=False)
+    log_model = np.asarray(info["elbo"], dtype=np.float64)
+    # normalize both over the grid (dθ cancels)
+    log_model = log_model - (np.log(np.sum(np.exp(log_model - log_model.max())))
+                             + log_model.max())
+    log_gt = np.sin(theta) - np.log(2 * np.pi * i0(1.0))
+    log_gt = log_gt - (np.log(np.sum(np.exp(log_gt - log_gt.max()))) + log_gt.max())
+    p_gt = np.exp(log_gt)
+    return float(np.sum(p_gt * (log_gt - log_model)))
+
+
+def run_one(dataset, seed, epochs, runs_dir):
+    from cmf_tpu.config import expand_grid, get_config
+    from cmf_tpu.training import load_run, test_and_visualize, train
+
+    config = get_config(dataset, "non-square", use_baseline=False)
+    config = {"model": "non-square", "dataset": dataset, **config}
+    config = expand_grid(config)[0]
+    config["seed"] = seed
+    if epochs is not None:
+        config["max_epochs"] = epochs
+        # keep early stopping meaningful on shortened schedules
+        config["early_stopping_start_epoch"] = min(
+            config.get("early_stopping_start_epoch", 0) or 0, max(epochs // 2, 1)
+        )
+    config["logdir_root"] = runs_dir
+    config["rundir_tail"] = f"_seed{seed}"
+
+    setup = train(config)
+    run_dir = setup["writer"].logdir
+    results = test_and_visualize(config, run_dir, overwrite=True)
+
+    if dataset == "von-mises-circle":
+        loaded = load_run(run_dir)
+        results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
+        with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+            json.dump(results, f, indent=4)
+    return run_dir, results
+
+
+def aggregate(rows):
+    """mean ± stderr per metric, NaN-excluded (tabular_evaluate.py:99-108)."""
+    out = {}
+    keys = set().union(*[set(r) for r in rows])
+    for k in sorted(keys):
+        vals = np.array([r[k] for r in rows if k in r and np.isfinite(r.get(k, np.nan))])
+        if len(vals) == 0:
+            continue
+        stderr = float(np.std(vals, ddof=1) / math.sqrt(len(vals))) if len(vals) > 1 else 0.0
+        out[k] = (float(np.mean(vals)), stderr, len(vals))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seeds", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="override max_epochs (default: config schedule)")
+    ap.add_argument("--datasets", nargs="+",
+                    default=["von-mises-circle", "sphere", "fuzzy-line", "sinusoid"])
+    ap.add_argument("--runs-dir", default="runs_battery")
+    ap.add_argument("--out", default=None, help="markdown output path")
+    args = ap.parse_args(argv)
+
+    # "loss" is the 2-D test metric (pure -elbo with regularizers off,
+    # experiment.py:605-606)
+    scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl")
+    table = {}
+    for dataset in args.datasets:
+        rows = []
+        for seed in range(args.seeds):
+            run_dir, results = run_one(dataset, seed, args.epochs, args.runs_dir)
+            flat = {}
+            for k, v in results.items():
+                if isinstance(v, (int, float)) and any(s in k for s in scalar_keys):
+                    flat[k] = float(v)
+            rows.append(flat)
+            print(json.dumps({"dataset": dataset, "seed": seed, "run": run_dir, **flat}),
+                  flush=True)
+        table[dataset] = aggregate(rows)
+
+    lines = [
+        "| dataset | metric | mean ± stderr | n |",
+        "|---|---|---|---|",
+    ]
+    for dataset, agg in table.items():
+        for metric, (mean, stderr, n) in agg.items():
+            lines.append(f"| {dataset} | {metric} | {mean:.4f} ± {stderr:.4f} | {n} |")
+    md = "\n".join(lines)
+    print(md)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(md + "\n")
+    return table
+
+
+if __name__ == "__main__":
+    main()

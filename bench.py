@@ -1,14 +1,23 @@
 #!/usr/bin/env python3
 """Benchmark: non-square CMF training throughput (samples/s/chip).
 
-Runs the miniboone-shaped non-square config (latent_dimension=21, exact
-Cholesky JᵀJ log-det — the hot path of SURVEY.md §3.2) on the available
-accelerator with synthetic data, and prints ONE JSON line:
+Measures the three metrics BASELINE.json names, on the available accelerator
+with synthetic data, and prints ONE JSON line:
 
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+
+* primary: miniboone non-square train throughput (exact Cholesky JᵀJ log-det,
+  d=21, batch 400 — the hot path of SURVEY.md §3.2), vs the stored anchor.
+* extra.mnist_samples_per_s_per_chip: full mnist non-square config
+  (multiscale-realnvp, hutch log-det d=20, batch 50 — images.py:120-178),
+  with the default exact-Gram Hutchinson solver.
+* extra.logdet_evals_per_s: JᵀJ Gram+Cholesky log-det kernel rate at the
+  miniboone geometry (B=400, d=21, D=43).
 
 The reference publishes no throughput numbers (BASELINE.md) — vs_baseline
-compares against a stored first-measurement anchor when present.
+compares against a stored first-measurement anchor when present. Environment:
+BENCH_STEPS (default 50) scales the scanned epoch; BENCH_SKIP_MNIST=1 skips
+the image benchmark (slow compile on cold caches).
 """
 
 import json
@@ -19,33 +28,17 @@ import time
 import numpy as np
 
 
-def main():
-    import os as _os
-
+def _train_throughput(config, x_shape, n_steps, rng_seed=0):
+    """samples/s/chip for a scanned synthetic-data train epoch."""
     import jax
-
-    cache = _os.path.join(_os.path.expanduser("~/.cache/cmf_tpu_xla"), jax.default_backend())
-    _os.makedirs(cache, exist_ok=True)
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
     import optax
 
-    from cmf_tpu.config import expand_grid, get_config, get_schema
+    from cmf_tpu.config import get_schema
     from cmf_tpu.models import get_density
 
-    config = get_config("miniboone", "non-square", use_baseline=False)
-    config = expand_grid(config)[0]
-    config["seed"] = 0
-    # Full miniboone non-square geometry (tabular.py:280-354): D=43, d=21,
-    # batch 400, 10 coupling layers + 5-layer realnvp prior, cholesky.
-    batch = config["train_batch_size"] = 400
-    dim = 43
-
-    density = get_density(get_schema(config), x_shape=(dim,))
+    batch = config["train_batch_size"]
+    density = get_density(get_schema(config), x_shape=x_shape)
     variables = density.init(jax.random.PRNGKey(0))
     opt = optax.adam(config["lr"])
     opt_state = opt.init(variables["params"])
@@ -74,9 +67,12 @@ def main():
         carry, losses = jax.lax.scan(body, (params, state, opt_state, rng), batches)
         return carry, losses
 
-    host_rng = np.random.default_rng(0)
-    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
-    batches = jnp.asarray(host_rng.normal(size=(n_steps, batch, dim)), jnp.float32)
+    host_rng = np.random.default_rng(rng_seed)
+    if len(x_shape) > 1:  # image-like: positive dequantizable pixels
+        data = host_rng.uniform(0, 255, size=(n_steps, batch, *x_shape))
+    else:
+        data = host_rng.normal(size=(n_steps, batch, *x_shape))
+    batches = jnp.asarray(data, jnp.float32)
     params, state = variables["params"], variables["state"]
     key = jax.random.PRNGKey(1)
 
@@ -90,9 +86,79 @@ def main():
     jax.block_until_ready(losses)
     elapsed = time.perf_counter() - t0
     assert np.all(np.isfinite(np.asarray(losses)))
+    return batch * n_steps / elapsed / jax.device_count()
 
-    n_chips = jax.device_count()
-    samples_per_s_per_chip = batch * n_steps / elapsed / n_chips
+
+def _logdet_eval_rate(batch=400, d=21, big_d=43, n_steps=200):
+    """JᵀJ log-det evals/s: Gram build + jittered Cholesky log-det from
+    Jacobian columns at the miniboone geometry (fused Pallas kernel when
+    available, ops/pallas/gram_logdet.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmf_tpu.ops import (
+        cholesky_logdet,
+        fused_gram_logdet,
+        fused_gram_logdet_available,
+        gram_from_columns,
+    )
+
+    cols = jax.random.normal(jax.random.PRNGKey(0), (d, batch, big_d), jnp.float32)
+    use_fused = fused_gram_logdet_available(d, big_d)
+
+    @jax.jit
+    def run(cols):
+        def body(acc, _):
+            if use_fused:
+                _, ld = fused_gram_logdet(cols)
+            else:
+                ld, _ = cholesky_logdet(gram_from_columns(cols))
+            return acc + jnp.sum(ld), 0.0
+
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_steps))
+        return acc
+
+    jax.block_until_ready(run(cols))
+    t0 = time.perf_counter()
+    jax.block_until_ready(run(cols))
+    elapsed = time.perf_counter() - t0
+    return batch * n_steps / elapsed / jax.device_count()
+
+
+def main():
+    import jax
+
+    cache = os.path.join(os.path.expanduser("~/.cache/cmf_tpu_xla"), jax.default_backend())
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    from cmf_tpu.config import expand_grid, get_config
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "50"))
+
+    # -------- primary: miniboone exact-Cholesky path (tabular.py:280-354:
+    # D=43, d=21, batch 400, 10 coupling layers + 5-layer realnvp prior)
+    config = get_config("miniboone", "non-square", use_baseline=False)
+    config = expand_grid(config)[0]
+    config["seed"] = 0
+    config["train_batch_size"] = 400
+    miniboone_rate = _train_throughput(config, (43,), n_steps)
+
+    extra = {}
+    extra["logdet_evals_per_s"] = round(_logdet_eval_rate(), 1)
+
+    if os.environ.get("BENCH_SKIP_MNIST", "0") != "1":
+        mnist_cfg = get_config("mnist", "non-square", use_baseline=False)
+        mnist_cfg = expand_grid(mnist_cfg)[0]
+        mnist_cfg["seed"] = 0
+        mnist_steps = max(10, n_steps // 2)
+        extra["mnist_samples_per_s_per_chip"] = round(
+            _train_throughput(mnist_cfg, (1, 28, 28), mnist_steps), 2
+        )
 
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
     vs_baseline = None
@@ -100,7 +166,7 @@ def main():
         with open(anchor_path) as f:
             anchor = json.load(f)
         if anchor.get("device_kind") == jax.devices()[0].device_kind:
-            vs_baseline = samples_per_s_per_chip / anchor["value"]
+            vs_baseline = miniboone_rate / anchor["value"]
     except FileNotFoundError:
         pass
 
@@ -108,13 +174,14 @@ def main():
         json.dumps(
             {
                 "metric": "miniboone non-square train throughput (cholesky logdet d=21, batch 400)",
-                "value": round(samples_per_s_per_chip, 2),
+                "value": round(miniboone_rate, 2),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(vs_baseline, 3) if vs_baseline else None,
+                "extra": extra,
             }
         )
     )
-    return samples_per_s_per_chip
+    return miniboone_rate
 
 
 if __name__ == "__main__":
