@@ -32,6 +32,7 @@ Static (Python-level) flags — each combination compiles once:
 """
 
 import os
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -49,8 +50,12 @@ from ..ops import (
 _VALID_METHODS = ("cholesky", "hutch_with_cg")
 _VALID_SOLVERS = ("auto", "gram", "cg")
 # Above this latent dimension the detached Gram build (d batched tangent
-# columns + d² solve) loses to iterative CG; every reference config is far
-# below it (images d=20, tabular d≤30 — images.py:131-152, tabular.py:282-288).
+# columns + d² solve) loses to iterative CG even with a fast fan-out; every
+# reference config is far below it (images d=20, tabular d≤30 —
+# images.py:131-152, tabular.py:282-288). Below it, 'auto' additionally
+# requires a dense decode program (see _resolved_hutch_solver): measured on a
+# v5e, the generic linearize+vmap fan-out makes gram ~2× *slower* than CG on
+# the mnist multiscale config (165.8 vs 84.4 ms/step, round-2 verdict).
 _GRAM_SOLVER_MAX_D = 64
 
 # Dense augmented-batch decode+Jacobian fast path (ops/decode_jac.py) for flat
@@ -155,7 +160,9 @@ class NonSquareHeadDensity(Density):
                     "g_ij regularisation needs the exact Gram: use "
                     "log_jacobian_method='cholesky'"
                 )
-                log_det, recon_flat, diag_est = self._approx_log_det(decode_flat, z, rng, train)
+                log_det, recon_flat, diag_est = self._approx_log_det(
+                    decode_flat, z, rng, train, pstate=pstate, variables=variables
+                )
                 if add_diagonal_metric_reg:
                     metric_l1 = jnp.sum(jnp.abs(diag_est), axis=1)
             likelihood_term = low_dim_elbo - log_det / 2.0
@@ -242,19 +249,44 @@ class NonSquareHeadDensity(Density):
 
     # ------------------------------------------------------- stochastic path
     def _resolved_hutch_solver(self, d):
+        """'auto' picks the exact-Gram solver only where its d-tangent fan-out
+        is known to be fast: when a dense augmented-batch decode program
+        exists (ops/decode_jac.py) and d is small. Chains the program doesn't
+        cover (e.g. conv/squeeze multiscale decodes without a program) fall
+        back to the reference's iterative CG (non_square.py:241-247), which is
+        measured faster there — the generic linearize+vmap fan-out compiles to
+        a data-formatting-bound TPU program (see decode_jac.py module doc)."""
         if self.hutchinson_solver != "auto":
             return self.hutchinson_solver
-        return "gram" if d <= _GRAM_SOLVER_MAX_D else "cg"
+        resolved = (
+            "gram"
+            if d <= _GRAM_SOLVER_MAX_D and self._dense_decode_program() is not None
+            else "cg"
+        )
+        if (
+            resolved == "gram"
+            and not getattr(self, "_warned_inert_cg", False)
+            and (self.max_cg_iterations is not None or self.cg_tolerance != 1.0)
+        ):
+            self._warned_inert_cg = True
+            warnings.warn(
+                "hutchinson_solver='auto' resolved to the exact-Gram solver; "
+                "max_cg_iterations/cg_tolerance are inert. Set "
+                "hutchinson_solver='cg' for the reference's iterative CG.",
+                stacklevel=2,
+            )
+        return resolved
 
-    def _approx_log_det(self, decode_flat, z, rng, train):
+    def _approx_log_det(self, decode_flat, z, rng, train, pstate=None, variables=None):
         """(non_square.py:203-258) Hutchinson surrogate log-det.
 
         The reference solves (JᵀJ)⁻¹ε with gpytorch's iterative CG — up to
         ``max_cg_iterations`` *sequential* JVP+VJP passes through the decoder
         (non_square.py:241-247). On TPU that is op-count bound: the solve is
-        fully detached, so no AD structure is needed — the default "gram"
-        solver instead pushes all d basis tangents through the linearized
-        decoder as ONE batched pass (B·d effective batch on the MXU), forms
+        fully detached, so no AD structure is needed — the "gram" solver
+        (auto-selected when a dense decode program covers the chain, see
+        _resolved_hutch_solver) instead pushes all d basis tangents through
+        the decoder as ONE batched pass (B·d effective batch on the MXU), forms
         the (B, d, d) Gram explicitly under stop-gradient, and solves exactly
         by Cholesky. Gradient semantics are identical (the surrogate's
         gradient flows only through the JᵀJε factor below, and an exact solve
@@ -288,10 +320,17 @@ class NonSquareHeadDensity(Density):
         gram = None
         if self._resolved_hutch_solver(d) == "gram":
             # One batched tangent fan-out (d columns), detached end to end.
-            basis = jnp.eye(d, dtype=z.dtype)
-            jac_cols = jax.lax.stop_gradient(
-                jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
-            )
+            program = self._dense_decode_program() if pstate is not None else None
+            if program is not None:
+                pv = {"params": variables["params"]["prior"], "state": pstate}
+                _, jac_cols = program(
+                    jax.lax.stop_gradient(pv), jax.lax.stop_gradient(z), train=train
+                )
+            else:
+                basis = jnp.eye(d, dtype=z.dtype)
+                jac_cols = jax.lax.stop_gradient(
+                    jax.vmap(lambda e: lin(jnp.broadcast_to(e, (batch, d))))(basis)
+                )
             gram = gram_from_columns(jac_cols)                # (B, d, d)
             sol, chol_l = spd_solve(gram, jax.lax.stop_gradient(eps))
             jtj_inv_eps = jax.lax.stop_gradient(sol)

