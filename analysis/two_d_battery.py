@@ -61,11 +61,16 @@ def run_one(dataset, seed, epochs, runs_dir):
     config = expand_grid(config)[0]
     config["seed"] = seed
     if epochs is not None:
+        # Scale the likelihood-warmup schedule with the epoch override: the
+        # trainer derives early_stopping_start_epoch from likelihood_warmup_end
+        # (objectives.py:40-51), so on shortened runs the warmup must shrink
+        # proportionally or full likelihood weight (and early stopping) would
+        # never activate.
+        scale = epochs / config["max_epochs"]
+        for k in ("likelihood_warmup_start", "likelihood_warmup_end"):
+            if config.get(k):
+                config[k] = max(1, int(round(config[k] * scale)))
         config["max_epochs"] = epochs
-        # keep early stopping meaningful on shortened schedules
-        config["early_stopping_start_epoch"] = min(
-            config.get("early_stopping_start_epoch", 0) or 0, max(epochs // 2, 1)
-        )
     config["logdir_root"] = runs_dir
     config["rundir_tail"] = f"_seed{seed}"
 

@@ -108,14 +108,18 @@ def _logdet_eval_rate(batch=400, d=21, big_d=43, n_steps=200):
 
     @jax.jit
     def run(cols):
-        def body(acc, _):
+        # Perturb the columns per step so the body is NOT loop-invariant —
+        # XLA's LICM would otherwise hoist one Gram/log-det out of the scan
+        # and report a fantasy rate (ADVICE r2).
+        def body(acc, i):
+            step_cols = cols * (1.0 + 1e-6 * i)
             if use_fused:
-                _, ld = fused_gram_logdet(cols)
+                _, ld = fused_gram_logdet(step_cols)
             else:
-                ld, _ = cholesky_logdet(gram_from_columns(cols))
+                ld, _ = cholesky_logdet(gram_from_columns(step_cols))
             return acc + jnp.sum(ld), 0.0
 
-        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_steps))
+        acc, _ = jax.lax.scan(body, 0.0, jnp.arange(1.0, n_steps + 1.0))
         return acc
 
     jax.block_until_ready(run(cols))

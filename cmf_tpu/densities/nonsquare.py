@@ -336,19 +336,24 @@ class NonSquareHeadDensity(Density):
             jtj_inv_eps = jax.lax.stop_gradient(sol)
             diag_l = jnp.diagonal(chol_l, axis1=-2, axis2=-1)
             exact_log_det = jax.lax.stop_gradient(2.0 * jnp.sum(jnp.log(diag_l), axis=-1))
+            jtj_eps = jtj_matvec(eps)  # gradient flows through this factor
         else:
             # Reference CG semantics: detached iterative solve
-            # (non_square.py:241-247).
+            # (non_square.py:241-247). The gradient factor JᵀJε doubles as the
+            # solve's first-iteration matvec (x0=0 ⇒ p0=ε), so a solve that
+            # converges within one iteration — the reference's image configs,
+            # cg_tolerance=1 — runs zero matvecs inside the loop.
+            jtj_eps = jtj_matvec(eps)  # gradient flows through this factor
             jtj_inv_eps = jax.lax.stop_gradient(
                 batched_cg(
                     lambda v: jtj_matvec(v),
                     jax.lax.stop_gradient(eps),
                     max_iter=max_iter,
                     tolerance=self.cg_tolerance,
+                    first_matvec=jax.lax.stop_gradient(jtj_eps),
                 )
             )
 
-        jtj_eps = jtj_matvec(eps)  # gradient flows through this factor
         # Surrogate whose gradient equals ∇ log|JᵀJ| (non_square.py:249-258).
         surrogate = jnp.mean(jnp.sum(jtj_inv_eps * jtj_eps, axis=1), axis=-1)
         # Unbiased Hutchinson estimate of diag(JᵀJ) for the g_kk regulariser.

@@ -322,18 +322,41 @@ class Trainer:
             )
         return self._eval_cache[name]
 
+    def _jit_eval_sums(self, fn, name):
+        """Per-batch (sum, count) pairs computed INSIDE jit: with a sharded
+        batch GSPMD inserts the cross-device reduction (psum over the data
+        axis), so eval scales past one chip — the distributed replacement for
+        the reference's single-process numpy buffers (SURVEY §2.18)."""
+        key = name + "/sums"
+        if key not in self._eval_cache:
+
+            @jax.jit
+            def jfn(variables, x, rng):
+                out = fn(self.density, variables, x, rng)
+                return {
+                    k: (jnp.sum(v), jnp.asarray(v.size, jnp.int32))
+                    for k, v in out.items()
+                }
+
+            self._eval_cache[key] = jfn
+        return self._eval_cache[key]
+
     def _run_eval(self, fn, name, loader):
-        """Average fn's per-example outputs over a loader."""
-        jfn = self._jit_eval(fn, name)
+        """Average fn's per-example outputs over a loader. Accumulation stays
+        on device (one host transfer per key at the end, not per batch)."""
+        jfn = self._jit_eval_sums(fn, name)
         variables = self._eval_variables()
-        sums, counts = {}, {}
+        acc = {}
         for x in loader:
             self.rng, eval_rng = jax.random.split(self.rng)
             out = jfn(variables, self._place(x), eval_rng)
-            for k, v in out.items():
-                sums[k] = sums.get(k, 0.0) + float(jnp.sum(v))
-                counts[k] = counts.get(k, 0) + int(np.prod(v.shape))
-        return {k: sums[k] / counts[k] for k in sums}
+            for k, sc in out.items():
+                acc.setdefault(k, []).append(sc)
+        return {
+            k: float(jnp.sum(jnp.stack([s for s, _ in v])))
+            / float(jnp.sum(jnp.stack([c for _, c in v])))
+            for k, v in acc.items()
+        }
 
     def _validate(self, epoch):
         if epoch < self.early_stopping_start_epoch:

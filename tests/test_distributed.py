@@ -58,6 +58,54 @@ def test_sharded_elbo_matches_single_device(rng):
     )
 
 
+def test_run_eval_sharded_equals_single_device(rng):
+    """Trainer._run_eval accumulates (sum, count) on device; with the batch
+    sharded over the 8-device mesh GSPMD inserts the cross-device psum, and
+    the averaged metrics must equal the single-device run (VERDICT r2 #7 —
+    replaces the reference's single-process numpy buffers, SURVEY §2.18)."""
+    import optax
+
+    from cmf_tpu.eval import metrics
+    from cmf_tpu.parallel import data_sharding, get_mesh
+    from cmf_tpu.training.objectives import SquareObjective
+    from cmf_tpu.training.trainer import Trainer
+    from cmf_tpu.training.writer import DummyWriter
+
+    density, variables = _build()
+    batches = [jax.random.normal(jax.random.fold_in(rng, i), (16, 3)) for i in range(3)]
+
+    def make_trainer(batch_sharding):
+        return Trainer(
+            density=density,
+            variables=variables,
+            objective=SquareObjective(),
+            optimizers=[optax.adam(1e-3)],
+            lr_schedules=[lambda s: 1e-3],
+            train_loader=None,
+            valid_loader=None,
+            test_loader=None,
+            writer=DummyWriter(),
+            visualizer=None,
+            max_epochs=1,
+            early_stopping=False,
+            max_bad_valid_epochs=1,
+            valid_frequency=1,
+            epochs_per_test=1,
+            rng=jax.random.PRNGKey(7),
+            batch_sharding=batch_sharding,
+        )
+
+    def fn(d, v, x, r):
+        return metrics(d, v, x, num_elbo_samples=1, rng=None)
+
+    single = make_trainer(None)._run_eval(fn, "m", batches)
+    mesh = get_mesh(data=8)
+    sharded = make_trainer(data_sharding(mesh))._run_eval(fn, "m", batches)
+    assert set(single) == set(sharded) and len(single) >= 3
+    for k in single:
+        np.testing.assert_allclose(single[k], sharded[k], rtol=1e-5, atol=1e-6)
+
+
 def test_grid_scheduler():
     from cmf_tpu.parallel import grid_jobs, host_shard
 

@@ -35,6 +35,30 @@ def test_metrics_log_prob_exact_for_deterministic_density(rng):
     )
 
 
+def test_metrics_scan_matches_per_sample_logsumexp(rng):
+    """The streaming scan-over-K (metrics.py) must equal the direct
+    logsumexp over K independently-seeded elbo evaluations — without ever
+    materialising the (K·B, D) repeated batch of the reference
+    (metrics.py:17-37)."""
+    from cmf_tpu.densities import DequantizationDensity
+
+    inner, _ = _gaussian_density()
+    density = DequantizationDensity(inner)  # rng-dependent elbo at eval time
+    variables = density.init(jax.random.PRNGKey(0))
+    x = jnp.floor(jax.random.uniform(jax.random.fold_in(rng, 1), (5, 4)) * 8)
+    K = 6
+    out = metrics(density, variables, x, num_elbo_samples=K, rng=rng)
+
+    keys = jax.random.split(rng, K)
+    samples = np.stack(
+        [np.asarray(density.elbo(variables, x, rng=k, train=False)[0]["elbo"]) for k in keys]
+    )  # (K, B)
+    assert np.std(samples, axis=0).max() > 1e-4  # genuinely stochastic
+    expected_lp = jax.scipy.special.logsumexp(jnp.asarray(samples), axis=0) - np.log(K)
+    np.testing.assert_allclose(np.asarray(out["log-prob"]), np.asarray(expected_lp), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["elbo"]), samples.mean(0), rtol=1e-5)
+
+
 def test_frechet_distance_properties(rng):
     mu = np.zeros(5)
     sigma = np.eye(5)

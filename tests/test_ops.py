@@ -37,6 +37,125 @@ def test_batched_cg_exact_in_d_iters(rng):
     np.testing.assert_allclose(np.asarray(x), np.asarray(x_true), rtol=5e-2, atol=5e-2)
 
 
+def test_batched_cg_first_matvec_precomputed(rng):
+    """Passing first_matvec = matvec(rhs) (the shared JᵀJε factor) must leave
+    the iterates bit-identical to computing it inside."""
+    A = _random_spd(rng, 3, 7)
+    rhs = jax.random.normal(jax.random.fold_in(rng, 3), (3, 7, 2))
+    mv = lambda v: jnp.einsum("bij,bjs->bis", A, v)
+    for tol in (1e-6, 1.0):
+        x_plain = batched_cg(mv, rhs, max_iter=16, tolerance=tol)
+        x_pre = batched_cg(mv, rhs, max_iter=16, tolerance=tol, first_matvec=mv(rhs))
+        np.testing.assert_array_equal(np.asarray(x_plain), np.asarray(x_pre))
+
+
+def test_batched_cg_counts_matvecs_lazily(rng):
+    """The peeled structure must run exactly 1 + (iterations beyond the first)
+    matvecs — and ZERO when first_matvec is supplied and the solve converges in
+    one iteration (the mnist cg_tolerance=1 regime). Counted on concrete
+    (non-jit) execution where the while_loop body runs per iteration."""
+    d = 8
+    A = jnp.broadcast_to(jnp.eye(d) * 4.0, (2, d, d))  # κ=1 → 1-iteration CG
+    rhs = jax.random.normal(rng, (2, d, 1))
+    calls = []
+    mv = lambda v: (calls.append(1), jnp.einsum("bij,bjs->bis", A, v))[1]
+    x = batched_cg(mv, rhs, max_iter=8, tolerance=1e-3, first_matvec=mv(rhs))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(rhs / 4.0), rtol=1e-5)
+    # 1 explicit first_matvec + 1 unavoidable while_loop body TRACE; the old
+    # structure additionally traced/ran matvec(x0=0) and re-ran matvec(rhs)
+    # inside the loop's first executed iteration.
+    assert len(calls) == 2
+
+
+def test_batched_cg_zero_rhs_stays_zero(rng):
+    """Zero right-hand-side columns short-circuit to zero solutions (the
+    gpytorch rhs_is_zero guard); non-zero columns in the same batch still
+    solve."""
+    A = _random_spd(rng, 2, 4)
+    rhs = jax.random.normal(jax.random.fold_in(rng, 5), (2, 4, 2))
+    rhs = rhs.at[:, :, 1].set(0.0)
+    mv = lambda v: jnp.einsum("bij,bjs->bis", A, v)
+    x = batched_cg(mv, rhs, max_iter=32, tolerance=1e-6)
+    np.testing.assert_array_equal(np.asarray(x[:, :, 1]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(mv(x)[:, :, 0]), np.asarray(rhs[:, :, 0]), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_batched_cg_scale_invariant_tolerance(rng):
+    """gpytorch normalises each rhs column by its norm, so tolerance is
+    RELATIVE: scaling the rhs scales the solution exactly (the reference's
+    cg_tolerance=1 image runs depend on this — an absolute tolerance of 1
+    would change iteration counts with d and ε scale)."""
+    A = _random_spd(rng, 2, 6)
+    rhs = jax.random.normal(jax.random.fold_in(rng, 6), (2, 6, 2))
+    mv = lambda v: jnp.einsum("bij,bjs->bis", A, v)
+    x1 = batched_cg(mv, rhs, max_iter=3, tolerance=0.5)
+    x2 = batched_cg(mv, rhs * 1000.0, max_iter=3, tolerance=0.5)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1) * 1000.0, rtol=1e-4)
+
+
+def _numpy_linear_cg(A, rhs, max_iter, tolerance, eps=1e-10):
+    """NumPy mirror of the gpytorch-pinned semantics in ops/cg.py: rhs
+    normalisation, per-column batch-mean relative-residual stopping, per-
+    (batch, column) freeze. Returns (x, iterations_run)."""
+    rhs_norm = np.linalg.norm(rhs, axis=-2, keepdims=True)
+    zero = rhs_norm < eps
+    rhs_norm = np.where(zero, 1.0, rhs_norm)
+    b = rhs / rhs_norm
+    x, r, p = np.zeros_like(b), b.copy(), b.copy()
+    iters = 0
+
+    def col_mean(r):
+        return np.mean(np.linalg.norm(r, axis=-2).reshape(-1, r.shape[-1]), axis=0)
+
+    def step(x, r, p, active):
+        Ap = np.einsum("bij,bjs->bis", A, p)
+        rr = np.sum(r * r, axis=-2, keepdims=True)
+        alpha = rr / (np.sum(p * Ap, axis=-2, keepdims=True) + eps) * active
+        x = x + alpha * p
+        r_new = r - alpha * Ap
+        beta = np.sum(r_new * r_new, axis=-2, keepdims=True) / (rr + eps)
+        return x, r_new, r_new + beta * p
+
+    # Structural first-iteration gate: the initial relative residual is
+    # exactly 1 by construction (see ops/cg.py).
+    if tolerance <= 1.0 and max_iter >= 1:
+        x, r, p = step(x, r, p, np.ones_like(rhs_norm))
+        iters += 1
+    while iters < max_iter and np.any(col_mean(r) >= tolerance):
+        active = (np.linalg.norm(r, axis=-2) >= tolerance)[..., None, :]
+        x, r, p = step(x, r, p, active)
+        iters += 1
+    return np.where(zero, 0.0, x * rhs_norm), iters
+
+
+def test_batched_cg_trajectory_pins_gpytorch_semantics(rng):
+    """Iterate-count / residual-trajectory pinning (VERDICT r2 #8): on a fixed
+    SPD family the jitted solver must reproduce the NumPy mirror's iterates at
+    EVERY max_iter truncation, for both the reference's loose image tolerance
+    (1.0) and a tight one."""
+    A = np.asarray(_random_spd(rng, 3, 8, cond=5.0), np.float64)
+    rhs = np.asarray(
+        jax.random.normal(jax.random.fold_in(rng, 7), (3, 8, 2)), np.float64
+    )
+    mv = lambda v: jnp.einsum("bij,bjs->bis", jnp.asarray(A, jnp.float32), v)
+    for tol in (1.0, 1e-2):
+        full, n_full = _numpy_linear_cg(A, rhs, max_iter=16, tolerance=tol)
+        assert 1 <= n_full <= 16  # the loose tolerance must not skip the solve
+        for k in (1, 2, 3, 8, 16):
+            expect, _ = _numpy_linear_cg(A, rhs, max_iter=k, tolerance=tol)
+            got = batched_cg(mv, jnp.asarray(rhs, jnp.float32), max_iter=k, tolerance=tol)
+            # fp64 mirror vs fp32 solver: trajectories drift with iteration
+            # depth; the single-step iterate pins tightly.
+            rtol = 2e-3 if k == 1 else 5e-2
+            np.testing.assert_allclose(np.asarray(got), expect, rtol=rtol, atol=1e-3)
+        # Beyond convergence the iterates are frozen: max_iter ≫ n_full
+        # reproduces the converged solution (no drift from extra updates).
+        got_full = batched_cg(mv, jnp.asarray(rhs, jnp.float32), max_iter=16, tolerance=tol)
+        np.testing.assert_allclose(np.asarray(got_full), full, rtol=5e-2, atol=1e-3)
+
+
 def test_jittered_cholesky_spd(rng):
     A = _random_spd(rng, 3, 5)
     L, jitter = jittered_cholesky(A)
