@@ -250,17 +250,20 @@ class NonSquareHeadDensity(Density):
     # ------------------------------------------------------- stochastic path
     def _resolved_hutch_solver(self, d):
         """'auto' picks the exact-Gram solver only where its d-tangent fan-out
-        is known to be fast: when a dense augmented-batch decode program
-        exists (ops/decode_jac.py) and d is small. Chains the program doesn't
-        cover (e.g. conv/squeeze multiscale decodes without a program) fall
-        back to the reference's iterative CG (non_square.py:241-247), which is
-        measured faster there — the generic linearize+vmap fan-out compiles to
-        a data-formatting-bound TPU program (see decode_jac.py module doc)."""
+        is known to be fast: a dense augmented-batch decode program
+        (ops/decode_jac.py) over a FLAT chain with small d. Conv-coupler
+        chains (the multiscale image decodes) fall back to the reference's
+        iterative CG (non_square.py:241-247): at the reference's relative
+        cg_tolerance=1 the solve converges in ~1 iteration (~4 decode-pass
+        equivalents total), while the d-column fan-out costs ~d conv passes —
+        measured on a v5e, 132 ms for the d=20 mnist fan-out vs 64 ms for the
+        whole CG train step."""
         if self.hutchinson_solver != "auto":
             return self.hutchinson_solver
+        program = self._dense_decode_program()
         resolved = (
             "gram"
-            if d <= _GRAM_SOLVER_MAX_D and self._dense_decode_program() is not None
+            if d <= _GRAM_SOLVER_MAX_D and program is not None and not program.has_conv
             else "cg"
         )
         if (

@@ -1,39 +1,53 @@
-"""Dense augmented-batch decode + Jacobian for flat non-square chains.
+"""Dense augmented-batch decode + Jacobian for non-square chains.
 
 The exact log-det path (reference non_square.py:262-311) pushes the d latent
 basis vectors through the decoder. The generic implementation
 (``jax.linearize`` + ``vmap`` in densities/nonsquare.py) is correct for any
-chain, but for the flat RealNVP decode stacks used by every tabular and 2-D
-non-square config it compiles to a poor TPU program: the alternating-channel
-couplings gather/concat/permute activations (whose autodiff transposes become
-scatter-adds), and the vmapped tangent chain materialises every primal
-coefficient broadcast over the tangent axis — on a v5e the broadcast/copy/
-data-formatting overhead is ~25% of the train step and the matmuls run with
-K=22-sized contractions.
+chain, but compiles to a poor TPU program: the couplings gather/concat/permute
+activations (whose autodiff transposes become scatter-adds), and the vmapped
+tangent chain materialises every primal coefficient broadcast over the tangent
+axis — on a v5e the broadcast/copy/data-formatting overhead is ~25% of the
+tabular train step, and on the mnist multiscale config the 20-column fan-out
+costs 132 ms vs 30 ms for a single decode forward (4.4×, where the pure conv
+FLOP ratio would be 21× — the machine is formatting-bound, not compute-bound).
 
 This module rewrites that computation as ONE dense augmented-batch program:
+the primal point and the d Jacobian columns travel together in a single
+``(B, d+1, ...)`` tensor (group 0 = primal, groups 1..d = tangent columns).
 
-* the primal point and the d Jacobian columns travel together in a single
-  ``(B, d+1, D)`` tensor (group 0 = primal, groups 1..d = tangent columns);
+Flat stages (tabular / 2-D chains, and the post-tail stage of image chains):
+
 * the tail zero-pad + inverse-permute (non_square.py:397-404) becomes the
   initial augmented tensor construction;
 * each inverse affine coupling (acl.py:43-46: x = z·e^{−s} − t) folds its
   channel gather/scatter into zero-padded weight matrices, so every coupler
   MLP layer is a single ``(B·(d+1), C) @ (C, H)`` matmul — MXU-shaped, no
-  gathers, no scatters, no tangent-axis broadcasts;
-* the activation/coupling tangent rules are written out explicitly
-  (σ′(h)⊙t for the hidden activations; e^{−s}(t_z − z⊙t_s) − t_t for the
-  coupling), so the whole thing is plain first-order JAX code — autodiff
-  through it yields the exact second-order terms the log-det gradient needs
-  with none of the ``linearize``-transpose structure.
+  gathers, no scatters, no tangent-axis broadcasts.
+
+Conv stages (the multiscale image decode, schemas.py:380-439 →
+reference acl.py:29-78 checkerboard / acl.py:169-189 split-channel with
+ResNet couplers, networks.py:116-161):
+
+* every convolution runs once over the merged ``(B·(d+1), C, H, W)`` batch —
+  tangent pushforward and primal share the same MXU pass (a conv is linear;
+  only the primal group receives the bias);
+* ReLU becomes one fused gate ``X ⊙ 1{X₀ > 0}`` (for the primal group this IS
+  relu(x₀); for tangents it is the JVP rule σ′(x₀)⊙t);
+* the scaled-tanh coupler head and the coupling inverse apply their explicit
+  tangent rules (w·(1−tanh²(h₀))⊙t; e^{−s}(t_z − z⊙t_s) − t_t);
+* squeeze (reshaping.py:69-115), multi-scale SplitDensity zero-padding
+  (split.py:32-52) and per-channel batch-norm denormalisation ride along as
+  group-preserving reshapes / affine maps.
+
+The whole program is plain first-order JAX code — autodiff through it yields
+the exact second-order terms the log-det gradient needs with none of the
+``linearize``-transpose structure.
 
 ``extract_dense_decode_program`` walks a non-square head's prior tree and
-returns a program when every layer is supported (flat View/Flip/random
-permutation reshaping, BatchNorm bijections, channelwise ACLs with MLP
-couplers, ending in the NonSquareTail); anything else → ``None`` and the
-caller falls back to the generic path. Numerics match the generic path to
-fp32 round-off (same formulas; contraction order differs only by folded-in
-zero rows).
+returns a program when every layer of the decode chain is supported; anything
+else → ``None`` and the caller falls back to the generic path. Numerics match
+the generic path to fp32 round-off (same formulas; contraction order differs
+only by folded-in zero rows / merged conv batches).
 """
 
 import numpy as np
@@ -41,7 +55,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..nets.core import _matmul
+from ..nets.core import _conv2d, _matmul
 
 
 def _fetch(tree, path):
@@ -51,16 +65,22 @@ def _fetch(tree, path):
 
 
 class _DenseDecodeProgram:
-    """Decode-order step list over a flat chain. Steps reference parameter /
-    state sub-trees of the head's prior variables by key-path."""
+    """Decode-order step list over a non-square chain. Steps reference
+    parameter / state sub-trees of the head's prior variables by key-path."""
 
-    def __init__(self, steps, tail_path, flat_dim, latent_dim):
+    def __init__(self, steps, tail_path, tail_shape, flat_dim, latent_dim, has_conv):
         self.steps = steps
         self.tail_path = tail_path
+        self.tail_shape = tuple(tail_shape)
         self.flat_dim = flat_dim
         self.latent_dim = latent_dim
+        # True when the chain contains conv-coupler stages — the exact-Gram
+        # Hutchinson 'auto' rule keys off this (the d-column fan-out through a
+        # conv stack costs ~21 conv passes; iterative CG at the reference's
+        # loose tolerance costs ~4, see densities/nonsquare.py).
+        self.has_conv = has_conv
 
-    # ------------------------------------------------------------- helpers
+    # ----------------------------------------------------- flat-MLP helpers
     @staticmethod
     def _aug_act(U, activation):
         """Augmented activation: primal group gets σ, tangents σ′(primal)⊙t."""
@@ -80,7 +100,7 @@ class _DenseDecodeProgram:
 
     def _acl_weights(self, step, params):
         """Fold the channel selection into zero-padded first/last weights."""
-        D = self.flat_dim
+        D = step["dim"]
         pass_idx, mod_idx = step["pass_idx"], step["mod_idx"]
         m = mod_idx.shape[0]
 
@@ -127,6 +147,95 @@ class _DenseDecodeProgram:
         bl_e = jnp.zeros((D,), bl.dtype).at[mod_idx].set(bl)
         return w1e, first["b"], mids, ws_e, bs_e, wl_e, bl_e
 
+    def _flat_acl(self, step, params, X, d):
+        w1e, b1, mids, ws_e, bs_e, wl_e, bl_e = self._acl_weights(step, params)
+        H = _matmul(X, w1e) + self._primal_bias(b1, d)
+        for layer in mids:
+            H = self._aug_act(H, step["activation"])
+            H = _matmul(H, layer["w"]) + self._primal_bias(layer["b"], d)
+        H = self._aug_act(H, step["activation"])
+        S = _matmul(H, ws_e) + self._primal_bias(bs_e, d)
+        L = _matmul(H, wl_e) + self._primal_bias(bl_e, d)
+        E0 = jnp.exp(-L[:, :1])
+        out0 = E0 * X[:, :1] - S[:, :1]
+        outt = E0 * (X[:, 1:] - X[:, :1] * L[:, 1:]) - S[:, 1:]
+        return jnp.concatenate([out0, outt], axis=1)
+
+    # --------------------------------------------------- conv-stage helpers
+    @staticmethod
+    def _relu_gate(X):
+        """X ⊙ 1{X₀>0}: relu for the primal group, its JVP for tangents."""
+        return X * (X[:, :1] > 0).astype(X.dtype)
+
+    @staticmethod
+    def _group0(G, c, b, dtype):
+        """(1, G, C, 1, 1) bias mask touching only the primal group."""
+        mask = jnp.zeros((1, G, 1, 1, 1), dtype).at[0, 0].set(1.0)
+        return mask * b[None, None, :, None, None]
+
+    def _conv(self, X, w, b=None):
+        B, G = X.shape[:2]
+        out = _conv2d(X.reshape(B * G, *X.shape[2:]), w)
+        out = out.reshape(B, G, *out.shape[1:])
+        if b is not None:
+            out = out + self._group0(G, out.shape[2], b, out.dtype)
+        return out
+
+    def _resnet_aug(self, net, p, X):
+        """Augmented ResNet coupler forward (networks.py:116-161 without
+        batch-norm, which the image non-square configs disable —
+        images.py `resnet_batchnorm: False`)."""
+        out = self._conv(X, p["conv_in"]["w"])  # bias-free (core.py init)
+        for bp in p["blocks"]:
+            h = self._relu_gate(out)
+            h = self._conv(h, bp["conv1"]["w"], bp["conv1"].get("b"))
+            h = self._relu_gate(h)
+            h = self._conv(h, bp["conv2"]["w"], bp["conv2"].get("b"))
+            out = out + h
+        out = self._relu_gate(out)
+        out = self._conv(out, p["conv_out"]["w"], p["conv_out"]["b"])
+        # Scaled-tanh head (networks.py:96-113): w·tanh(h)+b on the primal,
+        # w·(1−tanh²(h₀))·t on tangents.
+        h0 = out[:, :1]
+        th = jnp.tanh(h0)
+        hw = p["head_w"][None, None]
+        hb = p["head_b"][None, None]
+        primal = hw * th + hb
+        tang = hw * (1.0 - th * th) * out[:, 1:]
+        return jnp.concatenate([primal, tang], axis=1)
+
+    def _coupler_out(self, step, params, Cin):
+        cp = _fetch(params, step["path"] + ("bijection", "coupler"))
+        out = self._resnet_aug(step["net"], cp, Cin)
+        c = out.shape[2]
+        return out[:, :, : c // 2], out[:, :, c // 2 :]  # shift, log-scale
+
+    def _conv_acl(self, step, params, X):
+        if step["mode"] == "checkerboard":
+            m = step["mask"][None]  # (1, 1, 1, H, W) — broadcasts over (B,G,C)
+            S_, L_ = self._coupler_out(step, params, m * X)
+            E0 = jnp.exp(-L_[:, :1])
+            x0 = m * X[:, :1] + (1 - m) * (X[:, :1] * E0 - S_[:, :1])
+            xt = m * X[:, 1:] + (1 - m) * (
+                E0 * (X[:, 1:] - X[:, :1] * L_[:, 1:]) - S_[:, 1:]
+            )
+            return jnp.concatenate([x0, xt], axis=1)
+        # channel-split (acl.py:169-189): passthrough channels drive the
+        # coupler; modified channels invert as x = z·e^{−s} − t.
+        C = X.shape[2]
+        n_pass = step["num_passthrough"]
+        if step["reverse_mask"]:
+            pas, mod = X[:, :, C - n_pass :], X[:, :, : C - n_pass]
+        else:
+            pas, mod = X[:, :, :n_pass], X[:, :, n_pass:]
+        S_, L_ = self._coupler_out(step, params, pas)
+        E0 = jnp.exp(-L_[:, :1])
+        mod0 = mod[:, :1] * E0 - S_[:, :1]
+        modt = E0 * (mod[:, 1:] - mod[:, :1] * L_[:, 1:]) - S_[:, 1:]
+        mod_new = jnp.concatenate([mod0, modt], axis=1)
+        parts = [mod_new, pas] if step["reverse_mask"] else [pas, mod_new]
+        return jnp.concatenate(parts, axis=2)
+
     # ----------------------------------------------------------------- run
     def __call__(self, pv, z, train=False):
         """pv = the head prior's variables (post-forward state); z (B, d).
@@ -143,22 +252,15 @@ class _DenseDecodeProgram:
             [x0[:, None, :], jnp.broadcast_to(basis[None], (B, d, D))], axis=1
         )
         X = X[:, :, tail_state["inverse_permutation"]]
+        if len(self.tail_shape) > 1:
+            X = X.reshape(B, d + 1, *self.tail_shape)
 
         for step in self.steps:
             kind = step["kind"]
             if kind == "acl":
-                w1e, b1, mids, ws_e, bs_e, wl_e, bl_e = self._acl_weights(step, params)
-                H = _matmul(X, w1e) + self._primal_bias(b1, d)
-                for layer in mids:
-                    H = self._aug_act(H, step["activation"])
-                    H = _matmul(H, layer["w"]) + self._primal_bias(layer["b"], d)
-                H = self._aug_act(H, step["activation"])
-                S = _matmul(H, ws_e) + self._primal_bias(bs_e, d)
-                L = _matmul(H, wl_e) + self._primal_bias(bl_e, d)
-                E0 = jnp.exp(-L[:, :1])
-                out0 = E0 * X[:, :1] - S[:, :1]
-                outt = E0 * (X[:, 1:] - X[:, :1] * L[:, 1:]) - S[:, 1:]
-                X = jnp.concatenate([out0, outt], axis=1)
+                X = self._flat_acl(step, params, X, d)
+            elif kind == "conv_acl":
+                X = self._conv_acl(step, params, X)
             elif kind == "bn":
                 bij = step["bij"]
                 p = _fetch(params, step["path"] + ("bijection",))
@@ -175,14 +277,29 @@ class _DenseDecodeProgram:
                 )
             elif kind == "perm":
                 s = _fetch(state, step["path"] + ("bijection",))
-                X = X[:, :, s["inverse_permutation"]]
+                X = jnp.take(X, s["inverse_permutation"], axis=step["axis"])
             elif kind == "flip":
                 X = jnp.flip(X, axis=-1)
+            elif kind == "view":
+                X = X.reshape(B, d + 1, *step["shape"])
+            elif kind == "squeeze_inv":
+                # reshaping.py:98-104 glow unsqueeze, with the group axis
+                # riding along at position 1.
+                zc, zh, zw = step["z_shape"]
+                f = step["factor"]
+                c, h, w = step["x_shape"]
+                X = X.reshape(B, d + 1, zc // f**2, f, f, zh, zw)
+                X = X.transpose(0, 1, 2, 5, 3, 6, 4)
+                X = X.reshape(B, d + 1, c, h, w)
+            elif kind == "split_pad":
+                # Multi-scale factor-out: decode zero-pads the second half
+                # (split.py:40-41); tangents pad with zeros likewise.
+                X = jnp.concatenate([X, jnp.zeros_like(X)], axis=2)
             else:  # pragma: no cover
                 raise AssertionError(kind)
 
-        recon = X[:, 0]
-        jac_cols = jnp.moveaxis(X[:, 1:], 0, 1)  # (d, B, D)
+        recon = X[:, 0].reshape(B, -1)
+        jac_cols = jnp.moveaxis(X[:, 1:].reshape(B, d, -1), 0, 1)  # (d, B, D)
         return recon, jac_cols
 
 
@@ -193,23 +310,33 @@ def extract_dense_decode_program(head):
     from ..bijections.batchnorm import BatchNormBijection
     from ..bijections.coupling import (
         AlternatingChannelwiseCouplingBijection,
+        Checkerboard2dCouplingBijection,
         MaskedChannelwiseCouplingBijection,
         SplitChannelwiseCouplingBijection,
     )
     from ..bijections.reshaping import (
         FlipBijection,
         RandomChannelwisePermutationBijection,
+        Squeeze2dBijection,
         ViewBijection,
     )
     from ..couplers import ChunkedSharedCoupler, IndependentCoupler
     from ..densities.exact import BijectionDensity
     from ..densities.nonsquare import NonSquareTailDensity
-    from ..nets.core import MLP
+    from ..densities.split import SplitDensity
+    from ..nets.core import MLP, ResNet
 
     def mlp_ok(net):
         return isinstance(net, MLP) and net.activation in (jnp.tanh, jax.nn.relu)
 
+    def resnet_ok(net):
+        # Batch-norm inside the coupler mixes batch statistics into the
+        # tangent rule (jvp_layers.py:67-88); the image non-square configs
+        # disable it (images.py resnet_batchnorm=False) — decline otherwise.
+        return isinstance(net, ResNet) and not net.use_batchnorm
+
     steps_down = []
+    has_conv = False
     path = ()
     node = getattr(head, "prior", None)
     if node is None:
@@ -217,26 +344,59 @@ def extract_dense_decode_program(head):
     while True:
         if isinstance(node, NonSquareTailDensity):
             tail_path = path
+            tail_shape = node.x_shape
             flat_dim = node.flattened_dims
             latent_dim = node.latent_dimension
             break
+        if isinstance(node, SplitDensity):
+            if not node.non_square or node.axis != 1:
+                return None
+            steps_down.append({"kind": "split_pad"})
+            path = path + ("density_1",)
+            node = node.density_1
+            continue
         if not isinstance(node, BijectionDensity):
             return None
         bij = node.bijection
         if isinstance(bij, ViewBijection):
-            pass  # flat reshape: identity on (B, D)
+            # Decode applies the inverse reshape (z_shape → x_shape).
+            steps_down.append({"kind": "view", "shape": tuple(bij.x_shape)})
+        elif isinstance(bij, Squeeze2dBijection):
+            steps_down.append(
+                {
+                    "kind": "squeeze_inv",
+                    "factor": bij.factor,
+                    "x_shape": tuple(bij.x_shape),
+                    "z_shape": tuple(bij.z_shape),
+                }
+            )
         elif isinstance(bij, FlipBijection):
             if len(bij.x_shape) != 1 or bij.axis != 1:
                 return None
             steps_down.append({"kind": "flip"})
         elif isinstance(bij, RandomChannelwisePermutationBijection):
-            if len(bij.x_shape) != 1:
-                return None
-            steps_down.append({"kind": "perm", "path": path})
+            # Channel axis: -1 for flat stages, 2 for (B, G, C, H, W).
+            axis = -1 if len(bij.x_shape) == 1 else 2
+            steps_down.append({"kind": "perm", "path": path, "axis": axis})
         elif isinstance(bij, BatchNormBijection):
-            if len(bij.x_shape) != 1:
-                return None
+            # param_shape broadcasts over both (B, G, D) and (B, G, C, H, W).
             steps_down.append({"kind": "bn", "path": path, "bij": bij})
+        elif isinstance(bij, Checkerboard2dCouplingBijection):
+            if not (
+                isinstance(bij.coupler, ChunkedSharedCoupler)
+                and resnet_ok(bij.coupler.net)
+            ):
+                return None
+            has_conv = True
+            steps_down.append(
+                {
+                    "kind": "conv_acl",
+                    "mode": "checkerboard",
+                    "path": path,
+                    "mask": bij.mask,  # (1, 1, H, W)
+                    "net": bij.coupler.net,
+                }
+            )
         elif isinstance(
             bij,
             (
@@ -245,9 +405,30 @@ def extract_dense_decode_program(head):
                 MaskedChannelwiseCouplingBijection,
             ),
         ):
+            coupler = bij.coupler
+            if len(bij.x_shape) == 3:
+                if not (
+                    isinstance(bij, SplitChannelwiseCouplingBijection)
+                    and isinstance(coupler, ChunkedSharedCoupler)
+                    and resnet_ok(coupler.net)
+                ):
+                    return None
+                has_conv = True
+                steps_down.append(
+                    {
+                        "kind": "conv_acl",
+                        "mode": "channel",
+                        "path": path,
+                        "num_passthrough": bij.num_passthrough,
+                        "reverse_mask": bij.reverse_mask,
+                        "net": coupler.net,
+                    }
+                )
+                path = path + ("prior",)
+                node = node.prior
+                continue
             if len(bij.x_shape) != 1:
                 return None
-            coupler = bij.coupler
             if isinstance(coupler, ChunkedSharedCoupler) and mlp_ok(coupler.net):
                 kind, act = "chunked", coupler.net.activation
             elif (
@@ -275,6 +456,7 @@ def extract_dense_decode_program(head):
                 {
                     "kind": "acl",
                     "path": path,
+                    "dim": int(bij.x_shape[0]),
                     "pass_idx": pass_idx,
                     "mod_idx": mod_idx,
                     "coupler_kind": kind,
@@ -288,4 +470,4 @@ def extract_dense_decode_program(head):
 
     # Walk order is x→z (encoder); decode applies inverses innermost-first.
     steps = list(reversed(steps_down))
-    return _DenseDecodeProgram(steps, tail_path, flat_dim, latent_dim)
+    return _DenseDecodeProgram(steps, tail_path, tail_shape, flat_dim, latent_dim, has_conv)

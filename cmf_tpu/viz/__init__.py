@@ -52,7 +52,11 @@ def get_visualizer(config, writer, train_data):
         )
 
     if x_shape == (3,) and is_non_square and config.get("latent_dimension") in (1, 2, 3):
-        return ThreeDimensionalNonSquareVisualizer(writer=writer, train_data=train_data)
+        return ThreeDimensionalNonSquareVisualizer(
+            writer=writer,
+            train_data=train_data,
+            latent_dimension=config.get("latent_dimension"),
+        )
 
     if x_shape in ((4,), (6,)) and is_non_square:
         from .metric_analysis import HighDimensionalNonSquareVisualizer

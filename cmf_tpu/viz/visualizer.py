@@ -193,21 +193,100 @@ class TwoDimensionalNonSquareVisualizer:
 
 
 class ThreeDimensionalNonSquareVisualizer:
-    """3-D ambient manifolds with 1-D or 2-D latents
-    (visualizer.py:1795-2020): scatter of data vs model samples."""
+    """3-D ambient manifolds with 1/2/3-D latents — the reference's
+    ``ThreeDimensionalNonSquareVisualizer_{1,2,3}dlatent`` family
+    (visualizer.py:1795-2020, base 1619-1663), one class dispatching on the
+    latent dimension:
 
-    def __init__(self, writer, train_data):
+    * panel (i): the embedded manifold under a full random latent draw
+      (500 standard-normal latents through ``fixed_sample``);
+    * panels (ii)..: one per latent axis — ``fixed_sample`` sweeps
+      linspace(−2.5, 2.5, 100) along axis k with the other axes held at 0
+      (the reference's ``numbers`` lists);
+    * every panel: density-colored scatter of the decoded points (elbo with
+      reconstruction off, min–max scaled to [−1, 1] for the 3-latent layout
+      exactly as visualizer.py:1855-1859) over the training cloud.
+
+    Layouts follow the reference: 1-latent → 2 stacked panels, 2-latent → 3
+    stacked panels, 3-latent → 4 panels in a row with (i)-(iv) labels.
+    """
+
+    _NUM_TRAIN_POINTS_TO_SHOW = 500
+    _NUM_SAMPLE_POINTS_TO_SHOW = 500
+    _NUM_SWEEP = 100
+    _SWEEP_LO, _SWEEP_HI = -2.5, 2.5
+    _CMAP = "plasma"
+    _FS = 15
+
+    def __init__(self, writer, train_data, latent_dimension=None):
         self._writer = writer
         self._x = np.asarray(train_data)
+        self._latent_dimension = latent_dimension
+
+    def _latent_panels(self, L, rng):
+        """[(label, latent noise (N, L))] — random draw then per-axis sweeps."""
+        sweep = np.linspace(self._SWEEP_LO, self._SWEEP_HI, self._NUM_SWEEP, dtype=np.float32)
+        panels = [np.asarray(
+            jax.random.normal(rng, (self._NUM_SAMPLE_POINTS_TO_SHOW, L)), np.float32
+        )]
+        for k in range(L):
+            noise = np.zeros((self._NUM_SWEEP, L), np.float32)
+            noise[:, k] = sweep
+            panels.append(noise)
+        labels = ["(i)", "(ii)", "(iii)", "(iv)"][: L + 1]
+        return list(zip(labels, panels))
 
     def visualize(self, density, variables, epoch, write_folder=None):
-        samples = np.asarray(density.sample(variables, jax.random.PRNGKey(epoch), 2000))
-        fig = plt.figure(figsize=(12, 5))
-        for i, (pts, title) in enumerate([(self._x[:2000], "data"), (samples, "model")]):
-            ax = fig.add_subplot(1, 2, i + 1, projection="3d")
-            ax.scatter(pts[:, 0], pts[:, 1], pts[:, 2], s=2, alpha=0.5)
-            ax.set_title(title)
+        L = self._latent_dimension
+        if L is None:
+            L = int(np.asarray(density.extract_latent(variables, jnp.asarray(self._x[:2]))).shape[1])
+        panels = self._latent_panels(L, jax.random.PRNGKey(epoch))
+
+        x = self._x[
+            np.random.default_rng(epoch).integers(
+                0, self._x.shape[0], self._NUM_TRAIN_POINTS_TO_SHOW
+            )
+        ]
+        row_layout = L == 3  # 3-latent: 4 panels in a row (visualizer.py:1838)
+        if row_layout:
+            fig = plt.figure(figsize=(16, 4.5))
+        else:
+            fig = plt.figure(figsize=(6, 5 * len(panels)))
+
+        im = None
+        for i, (label, noise) in enumerate(panels):
+            if row_layout:
+                ax = fig.add_subplot(1, len(panels), i + 1, projection="3d")
+            else:
+                ax = fig.add_subplot(len(panels), 1, i + 1, projection="3d")
+            ax.grid(False)
+            ax.set_axis_off()
+            embedded = density.fixed_sample(variables, noise=jnp.asarray(noise))
+            info, _ = density.elbo(variables, embedded, train=False,
+                                   add_reconstruction=False, likelihood_wt=1.0)
+            embedded = np.asarray(embedded)
+            log_probs = np.asarray(info["elbo"]).reshape(-1)
+            if row_layout:
+                # min-max scale to [-1, 1] (visualizer.py:1855-1859)
+                lo, hi = log_probs.min(), log_probs.max()
+                log_probs = 2.0 * (log_probs - lo) / max(hi - lo, 1e-12) - 1.0
+            ax.text2D(0.05, 0.9, label, fontsize=self._FS, transform=ax.transAxes)
+            ax.scatter(x[:, 0], x[:, 1], x[:, 2], c="k", marker=".", s=7,
+                       linewidth=0.5, alpha=0.3)
+            im = ax.scatter(
+                embedded[:, 0], embedded[:, 1], embedded[:, 2],
+                c=log_probs, cmap=self._CMAP, marker="o",
+                s=40 if row_layout else 7,
+            )
+            if not row_layout:
+                cb = fig.colorbar(im, ax=ax, extend="both", shrink=0.8)
+                cb.set_label(r"$\log p(x)$", fontsize=self._FS)
+        if row_layout and im is not None:
+            cax = fig.add_axes([0.92, 0.15, 0.015, 0.7])
+            cb = fig.colorbar(im, cax=cax)
+            cb.set_label(r"$\log p(x)$", fontsize=self._FS)
+
         self._writer.write_figure(f"manifold3d_epoch{epoch}", fig, global_step=epoch)
         if write_folder is not None:
-            fig.savefig(f"{write_folder}/manifold3d.pdf")
+            fig.savefig(f"{write_folder}/density.pdf", bbox_inches="tight")
         plt.close(fig)

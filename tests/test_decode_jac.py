@@ -129,18 +129,105 @@ def test_dense_gradient_parity():
     np.testing.assert_allclose(flat_d, flat_g, rtol=2e-4, atol=2e-5)
 
 
-def test_extraction_declines_unsupported_chains():
-    """Image multiscale chains (convs, squeezes, splits) must fall back."""
+def _locate_head(density, variables):
     from cmf_tpu.densities import NonSquareHeadDensity
 
-    config = expand_grid(get_config("mnist", "non-square", use_baseline=False))[0]
-    density = get_density(get_schema(config), x_shape=(1, 28, 28))
-    # Locate the non-square head inside the wrapper/bijection chain.
-    node = density
+    node, hv = density, variables
     while not isinstance(node, NonSquareHeadDensity):
-        node = getattr(node, "density", None) or node.prior
-    assert extract_dense_decode_program(node) is None
-    assert extract_dense_decode_program(density) is None  # defensive: wrapper
+        if hasattr(node, "density"):
+            node = node.density
+            hv = {"params": hv["params"]["density"], "state": hv["state"]["density"]}
+        else:
+            node = node.prior
+            hv = {"params": hv["params"]["prior"], "state": hv["state"]["prior"]}
+    return node, hv
+
+
+def small_image_build(**overrides):
+    """Tiny multiscale mnist-geometry chain: checkerboard + squeeze +
+    split-channel + SplitDensity + checkerboard over (1, 8, 8), d=4."""
+    config = expand_grid(get_config("mnist", "non-square", use_baseline=False))[0]
+    config.update({
+        "seed": 0, "g_hidden_channels": [4, 4], "prior_num_density_layers": 2,
+        "prior_hidden_channels": [8], "latent_dimension": 4,
+    })
+    config.update(overrides)
+    density = get_density(get_schema(config), x_shape=(1, 8, 8))
+    variables = density.init(jax.random.PRNGKey(0))
+    return _locate_head(density, variables)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_dense_matches_generic_multiscale_image(train):
+    """Conv-stage parity: the augmented-batch program over the full
+    multiscale image decode (checkerboard/split-channel ResNet couplers,
+    squeeze, SplitDensity zero-pad) must match linearize+vmap."""
+    head, hv = small_image_build()
+    x = jnp.asarray(np.random.default_rng(3).uniform(0, 1, (3, 1, 8, 8)), jnp.float32)
+
+    pv0 = {"params": hv["params"]["prior"], "state": hv["state"]["prior"]}
+    prior_info, pstate = head.prior.elbo(pv0, x, rng=None, train=train)
+    z = prior_info["low_dim_x"]
+    decode_flat = head._decode_fns(hv, pstate, train)
+
+    recon_g, lin = jax.linearize(decode_flat, z)
+    d = z.shape[1]
+    basis = jnp.eye(d, dtype=z.dtype)
+    cols_g = jax.vmap(lambda e: lin(jnp.broadcast_to(e, z.shape)))(basis)
+
+    prog = extract_dense_decode_program(head)
+    assert prog is not None and prog.has_conv
+    pv = {"params": hv["params"]["prior"], "state": pstate}
+    recon_d, cols_d = prog(pv, z, train=train)
+
+    np.testing.assert_allclose(np.asarray(recon_d), np.asarray(recon_g), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cols_d), np.asarray(cols_g), rtol=1e-3, atol=1e-4)
+    ld_g, _ = cholesky_logdet(gram_from_columns(cols_g))
+    ld_d, _ = cholesky_logdet(gram_from_columns(cols_d))
+    np.testing.assert_allclose(np.asarray(ld_d), np.asarray(ld_g), rtol=1e-3, atol=1e-3)
+
+
+def test_dense_gradient_parity_multiscale_image():
+    """Gradients of log-det + reconstruction through the conv program must
+    match the generic path (the second-order terms through the conv/relu/tanh
+    tangent rules are where a mistake would hide)."""
+    head, hv = small_image_build()
+    x = jnp.asarray(np.random.default_rng(4).uniform(0, 1, (2, 1, 8, 8)), jnp.float32)
+    prog = extract_dense_decode_program(head)
+
+    def loss(params, use_prog):
+        v = {"params": params, "state": hv["state"]}
+        pv0 = {"params": params["prior"], "state": hv["state"]["prior"]}
+        prior_info, pstate = head.prior.elbo(pv0, x, rng=None, train=True)
+        z = prior_info["low_dim_x"]
+        if use_prog:
+            pv = {"params": params["prior"], "state": pstate}
+            recon, cols = prog(pv, z, train=True)
+        else:
+            decode_flat = head._decode_fns(v, pstate, True)
+            recon, lin = jax.linearize(decode_flat, z)
+            basis = jnp.eye(z.shape[1], dtype=z.dtype)
+            cols = jax.vmap(lambda e: lin(jnp.broadcast_to(e, z.shape)))(basis)
+        ld, _ = cholesky_logdet(gram_from_columns(cols))
+        rec = jnp.sum((recon - x.reshape(x.shape[0], -1)) ** 2, axis=-1)
+        return jnp.sum(ld) + jnp.sum(rec)
+
+    val_d, grad_d = jax.value_and_grad(lambda p: loss(p, True))(hv["params"])
+    val_g, grad_g = jax.value_and_grad(lambda p: loss(p, False))(hv["params"])
+    np.testing.assert_allclose(float(val_d), float(val_g), rtol=1e-4)
+    flat_d, _ = ravel_pytree(grad_d)
+    flat_g, _ = ravel_pytree(grad_g)
+    np.testing.assert_allclose(np.asarray(flat_d), np.asarray(flat_g), rtol=5e-3, atol=5e-4)
+
+
+def test_image_auto_solver_still_resolves_cg():
+    """Even with the conv program available, 'auto' must keep iterative CG
+    for conv chains (the d-column fan-out costs ~d conv passes; CG at the
+    reference's relative cg_tolerance=1 costs ~4 — measured r3)."""
+    head, _ = small_image_build()
+    assert extract_dense_decode_program(head).has_conv
+    assert head._dense_decode_program() is not None
+    assert head._resolved_hutch_solver(4) == "cg"
 
 
 def test_dense_used_inside_elbo():

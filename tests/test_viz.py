@@ -72,12 +72,36 @@ def test_2d_nonsquare_visualizer_2d_latent(writer, rng, tmp_path):
     assert os.path.exists(tmp_path / "density.pdf")
 
 
-def test_3d_nonsquare_visualizer(writer, rng, tmp_path):
-    head, variables = build_nonsquare(D=3, d=2, key=rng)
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_3d_nonsquare_visualizer(writer, rng, tmp_path, d):
+    """Per-latent-dim parity with the reference 3-D family
+    (visualizer.py:1795-2020): one random-draw panel + one fixed_sample sweep
+    panel PER latent axis, each a density-colored 3-D scatter with non-empty
+    collections."""
+    import matplotlib.pyplot as plt
+
+    head, variables = build_nonsquare(D=3, d=d, key=rng)
     data = np.asarray(jax.random.normal(rng, (500, 3)))
-    viz = get_visualizer(_cfg("sphere", 2), writer, data)
-    viz.visualize(head, variables, epoch=1, write_folder=str(tmp_path))
-    assert os.path.exists(tmp_path / "manifold3d.pdf")
+    viz = get_visualizer(_cfg("sphere", d), writer, data)
+
+    captured = {}
+    orig_savefig = plt.Figure.savefig
+
+    def capture(fig, *a, **kw):
+        captured["axes"] = fig.get_axes()
+        return orig_savefig(fig, *a, **kw)
+
+    plt.Figure.savefig = capture
+    try:
+        viz.visualize(head, variables, epoch=1, write_folder=str(tmp_path))
+    finally:
+        plt.Figure.savefig = orig_savefig
+    assert os.path.exists(tmp_path / "density.pdf")
+    axes3d = [a for a in captured["axes"] if a.name == "3d"]
+    assert len(axes3d) == d + 1  # random panel + one sweep per latent axis
+    for ax in axes3d:
+        # training cloud + density-colored embedded manifold
+        assert len(ax.collections) >= 2
 
 
 def test_highdim_visualizer_with_invariants(writer, rng, tmp_path):
