@@ -131,4 +131,11 @@ def get_fid_function(config, reference_loader, feature_fn=None):
             )
         return frechet_distance(ref_mu, ref_cov, mu, cov)
 
+    # Provenance stamp for every FID written downstream (metrics.json, test
+    # scalars): which extractor produced the number. Proxy FIDs are relative
+    # tracking signals only — never comparable to published InceptionV3 FID.
+    fid.feature_extractor = (
+        "raw-features" if feature_fn is None
+        else getattr(feature_fn, "extractor_kind", "unknown")
+    )
     return fid

@@ -55,6 +55,7 @@ def _proxy_feature_fn(fid_dims=2048, seed=0):
         h = h[:, :, : gh * 2, : gw * 2].reshape(b, c, 2, gh, 2, gw).mean((3, 5))
         return h.reshape(b, -1)
 
+    features.extractor_kind = "proxy"
     return features
 
 
@@ -83,6 +84,7 @@ def _torchvision_feature_fn():
         return jnp.asarray(out.numpy())
 
     features.jax_traceable = False
+    features.extractor_kind = "torchvision"
     return features
 
 

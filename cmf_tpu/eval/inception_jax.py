@@ -169,6 +169,7 @@ def load_feature_fn(npz_path):
         x = 2.0 * x - 1.0
         return inception_pool3_features(params, x)
 
+    features.extractor_kind = "inception-jax"
     return features
 
 

@@ -407,6 +407,12 @@ class Trainer:
             results["fid"] = float(
                 self.fid_function(self.density, self._eval_variables(), fid_rng)
             )
+            # Which extractor produced this FID (inception-jax / torchvision /
+            # proxy / raw-features) — recorded into metrics.json so proxy
+            # numbers can never masquerade as published-comparable FID.
+            results["feature_extractor"] = getattr(
+                self.fid_function, "feature_extractor", "unknown"
+            )
         return results
 
     def test_ood(self, loader, write_tag):
@@ -432,6 +438,9 @@ class Trainer:
         if (epoch - 1) % self.epochs_per_test != 0:
             return
         for k, v in self.test().items():
+            if isinstance(v, str):  # provenance stamps are not scalars
+                self.writer.write_textfile(f"test_{k}", v)
+                continue
             self.writer.write_scalar(f"test/{k}", v, global_step=epoch)
             if not np.isfinite(v):
                 self._save_checkpoint("nan_during_test")

@@ -4,6 +4,7 @@ plumbing, pullback correctness, metric-analysis quantities."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cmf_tpu.densities import BijectionDensity, DiagonalGaussianDensity
 from cmf_tpu.bijections import AffineBijection
@@ -124,6 +125,163 @@ def test_macs_orthogonal_is_zero(rng):
     val, cos = macs(tail, variables, z)
     assert val < 1e-6
     np.testing.assert_allclose(np.diag(cos), 1.0, atol=1e-5)
+
+
+def test_inception_jax_matches_patched_torch_graph():
+    """Feature parity of the JAX InceptionV3 port (eval/inception_jax.py)
+    against the pytorch-fid graph it mirrors (reference metrics.py:203-524),
+    on RANDOM weights and randomized batch-norm statistics — pins convs,
+    batch-norm eps=1e-3, the count_include_pad=False average pools of the
+    patched A/C/E blocks and the max-pool quirk of the final E block."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    import torch.nn.functional as F
+
+    from cmf_tpu.eval.inception_jax import inception_pool3_features
+
+    torch.manual_seed(0)
+    model = torchvision.models.inception_v3(weights=None, aux_logits=True, init_weights=True)
+    model.eval()
+    with torch.no_grad():  # exercise non-trivial BN running stats
+        for m in model.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.1)
+                m.running_var.uniform_(0.5, 1.5)
+    params = {
+        k: jnp.asarray(v.numpy())
+        for k, v in model.state_dict().items()
+        if not k.endswith("num_batches_tracked") and not k.startswith(("AuxLogits", "fc"))
+    }
+    x = np.clip(
+        np.random.default_rng(0).normal(size=(2, 3, 299, 299)), -1, 1
+    ).astype(np.float32)
+
+    # pytorch-fid's patched block forwards, re-derived from their documented
+    # deltas vs torchvision: count_include_pad=False average pools in A/C/E,
+    # and a 3x3 stride-1 max pool in the last E block.
+    def patched_a(m, t):
+        b1 = m.branch1x1(t)
+        b5 = m.branch5x5_2(m.branch5x5_1(t))
+        bd = m.branch3x3dbl_3(m.branch3x3dbl_2(m.branch3x3dbl_1(t)))
+        bp = m.branch_pool(F.avg_pool2d(t, 3, 1, 1, count_include_pad=False))
+        return torch.cat([b1, b5, bd, bp], 1)
+
+    def patched_c(m, t):
+        b1 = m.branch1x1(t)
+        b7 = m.branch7x7_3(m.branch7x7_2(m.branch7x7_1(t)))
+        bd = m.branch7x7dbl_5(
+            m.branch7x7dbl_4(m.branch7x7dbl_3(m.branch7x7dbl_2(m.branch7x7dbl_1(t))))
+        )
+        bp = m.branch_pool(F.avg_pool2d(t, 3, 1, 1, count_include_pad=False))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+    def patched_e(m, t, last):
+        b1 = m.branch1x1(t)
+        b3 = m.branch3x3_1(t)
+        b3 = torch.cat([m.branch3x3_2a(b3), m.branch3x3_2b(b3)], 1)
+        bd = m.branch3x3dbl_2(m.branch3x3dbl_1(t))
+        bd = torch.cat([m.branch3x3dbl_3a(bd), m.branch3x3dbl_3b(bd)], 1)
+        pool = (
+            F.max_pool2d(t, 3, 1, 1)
+            if last
+            else F.avg_pool2d(t, 3, 1, 1, count_include_pad=False)
+        )
+        return torch.cat([b1, b3, bd, m.branch_pool(pool)], 1)
+
+    with torch.no_grad():
+        t = torch.tensor(x)
+        m = model
+        t = m.Conv2d_1a_3x3(t)
+        t = m.Conv2d_2a_3x3(t)
+        t = m.Conv2d_2b_3x3(t)
+        t = F.max_pool2d(t, 3, 2)
+        t = m.Conv2d_3b_1x1(t)
+        t = m.Conv2d_4a_3x3(t)
+        t = F.max_pool2d(t, 3, 2)
+        t = patched_a(m.Mixed_5b, t)
+        t = patched_a(m.Mixed_5c, t)
+        t = patched_a(m.Mixed_5d, t)
+        t = m.Mixed_6a(t)
+        t = patched_c(m.Mixed_6b, t)
+        t = patched_c(m.Mixed_6c, t)
+        t = patched_c(m.Mixed_6d, t)
+        t = patched_c(m.Mixed_6e, t)
+        t = m.Mixed_7a(t)
+        t = patched_e(m.Mixed_7b, t, last=False)
+        t = patched_e(m.Mixed_7c, t, last=True)
+        expected = F.adaptive_avg_pool2d(t, (1, 1)).flatten(1).numpy()
+
+    got = np.asarray(inception_pool3_features(params, jnp.asarray(x)))
+    np.testing.assert_allclose(got, expected, rtol=5e-3, atol=5e-3)
+
+
+def test_inception_jax_primitives_match_torch():
+    """In-container parity for the port's building blocks against pure torch
+    (torchvision-free): conv+BN(eps=1e-3)+relu, the count_include_pad=False
+    SAME average pool, the 3x3/2 VALID max pool, and bilinear resize — the
+    places a porting bug would hide."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from cmf_tpu.eval.inception_jax import (
+        _avg_pool_same,
+        _conv_bn,
+        _max_pool,
+        _resize_bilinear,
+    )
+
+    g = np.random.default_rng(1)
+    x = g.normal(size=(2, 5, 17, 17)).astype(np.float32)
+    w = (g.normal(size=(7, 5, 3, 3)) * 0.1).astype(np.float32)
+    params = {
+        "blk.conv.weight": jnp.asarray(w),
+        "blk.bn.running_mean": jnp.asarray(g.normal(size=7).astype(np.float32) * 0.1),
+        "blk.bn.running_var": jnp.asarray(g.uniform(0.5, 1.5, size=7).astype(np.float32)),
+        "blk.bn.weight": jnp.asarray(g.normal(size=7).astype(np.float32)),
+        "blk.bn.bias": jnp.asarray(g.normal(size=7).astype(np.float32)),
+    }
+    with torch.no_grad():
+        t = torch.tensor(x)
+        conv = F.conv2d(t, torch.tensor(w), padding=1)
+        bn = F.batch_norm(
+            conv,
+            torch.tensor(np.asarray(params["blk.bn.running_mean"])),
+            torch.tensor(np.asarray(params["blk.bn.running_var"])),
+            torch.tensor(np.asarray(params["blk.bn.weight"])),
+            torch.tensor(np.asarray(params["blk.bn.bias"])),
+            training=False, eps=1e-3,
+        )
+        expected_cb = F.relu(bn).numpy()
+        expected_avg = F.avg_pool2d(t, 3, 1, 1, count_include_pad=False).numpy()
+        expected_max = F.max_pool2d(t, 3, 2).numpy()
+        expected_rs = F.interpolate(t, size=(29, 29), mode="bilinear", align_corners=False).numpy()
+
+    np.testing.assert_allclose(
+        np.asarray(_conv_bn(params, "blk", jnp.asarray(x))), expected_cb, rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(_avg_pool_same(jnp.asarray(x))), expected_avg, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(_max_pool(jnp.asarray(x))), expected_max, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(_resize_bilinear(jnp.asarray(x), 29)), expected_rs, rtol=1e-4, atol=1e-5
+    )
+
+
+def test_fid_function_stamps_extractor(rng):
+    """Every fid function carries feature_extractor provenance (VERDICT r2
+    #6); raw tabular features stamp 'raw-features', the proxy stamps
+    'proxy'."""
+    from cmf_tpu.eval.inception import _proxy_feature_fn
+
+    density, variables = _gaussian_density()
+    config = {"num_fid_samples": 100, "test_batch_size": 50}
+    ref = list(sample_batches(density, variables, jax.random.PRNGKey(5), 100, 50))
+    assert get_fid_function(config, ref).feature_extractor == "raw-features"
+    proxy = _proxy_feature_fn(fid_dims=64)
+    assert proxy.extractor_kind == "proxy"
 
 
 def test_inception_proxy_features_deterministic():
