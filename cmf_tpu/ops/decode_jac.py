@@ -13,7 +13,13 @@ FLOP ratio would be 21× — the machine is formatting-bound, not compute-bound)
 
 This module rewrites that computation as ONE dense augmented-batch program:
 the primal point and the d Jacobian columns travel together in a single
-``(B, d+1, ...)`` tensor (group 0 = primal, groups 1..d = tangent columns).
+``(d+1, B, ...)`` tensor — group axis LEADING (group 0 = primal, groups 1..d
+= tangent columns). The leading group axis is load-bearing on TPU: group
+slices (``X[:1]``), group concatenations and the ``(G, B) → (G·B)`` batch
+merge for convolutions are all contiguous leading-dimension ops that XLA
+lowers without relayout copies, whereas a middle group axis forced a 220 MB
+copy per slice/concat under the (8,128) tiled layout (measured 655 ms for the
+mnist fan-out vs 132 ms generic; leading-group fixes this).
 
 Flat stages (tabular / 2-D chains, and the post-tail stage of image chains):
 
@@ -21,14 +27,14 @@ Flat stages (tabular / 2-D chains, and the post-tail stage of image chains):
   initial augmented tensor construction;
 * each inverse affine coupling (acl.py:43-46: x = z·e^{−s} − t) folds its
   channel gather/scatter into zero-padded weight matrices, so every coupler
-  MLP layer is a single ``(B·(d+1), C) @ (C, H)`` matmul — MXU-shaped, no
+  MLP layer is a single ``((d+1)·B, C) @ (C, H)`` matmul — MXU-shaped, no
   gathers, no scatters, no tangent-axis broadcasts.
 
 Conv stages (the multiscale image decode, schemas.py:380-439 →
 reference acl.py:29-78 checkerboard / acl.py:169-189 split-channel with
 ResNet couplers, networks.py:116-161):
 
-* every convolution runs once over the merged ``(B·(d+1), C, H, W)`` batch —
+* every convolution runs once over the merged ``(G·B, C, H, W)`` batch —
   tangent pushforward and primal share the same MXU pass (a conv is linear;
   only the primal group receives the bias);
 * ReLU becomes one fused gate ``X ⊙ 1{X₀ > 0}`` (for the primal group this IS
@@ -37,7 +43,11 @@ ResNet couplers, networks.py:116-161):
   tangent rules (w·(1−tanh²(h₀))⊙t; e^{−s}(t_z − z⊙t_s) − t_t);
 * squeeze (reshaping.py:69-115), multi-scale SplitDensity zero-padding
   (split.py:32-52) and per-channel batch-norm denormalisation ride along as
-  group-preserving reshapes / affine maps.
+  group-preserving reshapes / affine maps;
+* each ResNet coupler evaluation is wrapped in ``jax.checkpoint``: the
+  backward pass recomputes the 64-channel hidden activations per coupler
+  instead of storing all of them (storing them needs ~22 GB at the mnist
+  geometry; rematerialisation caps residency at one coupler's activations).
 
 The whole program is plain first-order JAX code — autodiff through it yields
 the exact second-order terms the log-det gradient needs with none of the
@@ -66,7 +76,8 @@ def _fetch(tree, path):
 
 class _DenseDecodeProgram:
     """Decode-order step list over a non-square chain. Steps reference
-    parameter / state sub-trees of the head's prior variables by key-path."""
+    parameter / state sub-trees of the head's prior variables by key-path.
+    Augmented tensors are group-leading: (d+1, B, ...)."""
 
     def __init__(self, steps, tail_path, tail_shape, flat_dim, latent_dim, has_conv):
         self.steps = steps
@@ -76,27 +87,27 @@ class _DenseDecodeProgram:
         self.latent_dim = latent_dim
         # True when the chain contains conv-coupler stages — the exact-Gram
         # Hutchinson 'auto' rule keys off this (the d-column fan-out through a
-        # conv stack costs ~21 conv passes; iterative CG at the reference's
-        # loose tolerance costs ~4, see densities/nonsquare.py).
+        # conv stack costs ~d conv passes; iterative CG at the reference's
+        # loose relative tolerance costs ~4, see densities/nonsquare.py).
         self.has_conv = has_conv
 
     # ----------------------------------------------------- flat-MLP helpers
     @staticmethod
     def _aug_act(U, activation):
         """Augmented activation: primal group gets σ, tangents σ′(primal)⊙t."""
-        U0 = U[:, :1]
+        U0 = U[:1]
         if activation is jnp.tanh:
             a = jnp.tanh(U0)
             deriv = 1.0 - a * a
         else:  # relu
             a = jax.nn.relu(U0)
             deriv = (U0 > 0).astype(U.dtype)
-        return jnp.concatenate([a, deriv * U[:, 1:]], axis=1)
+        return jnp.concatenate([a, deriv * U[1:]], axis=0)
 
     @staticmethod
     def _primal_bias(b, d):
-        """(1, d+1, H) bias tensor that only touches the primal group."""
-        return jnp.concatenate([b[None], jnp.zeros((d, b.shape[0]), b.dtype)], axis=0)[None]
+        """(d+1, 1, H) bias tensor that only touches the primal group."""
+        return jnp.concatenate([b[None], jnp.zeros((d, b.shape[0]), b.dtype)], axis=0)[:, None]
 
     def _acl_weights(self, step, params):
         """Fold the channel selection into zero-padded first/last weights."""
@@ -156,32 +167,32 @@ class _DenseDecodeProgram:
         H = self._aug_act(H, step["activation"])
         S = _matmul(H, ws_e) + self._primal_bias(bs_e, d)
         L = _matmul(H, wl_e) + self._primal_bias(bl_e, d)
-        E0 = jnp.exp(-L[:, :1])
-        out0 = E0 * X[:, :1] - S[:, :1]
-        outt = E0 * (X[:, 1:] - X[:, :1] * L[:, 1:]) - S[:, 1:]
-        return jnp.concatenate([out0, outt], axis=1)
+        E0 = jnp.exp(-L[:1])
+        out0 = E0 * X[:1] - S[:1]
+        outt = E0 * (X[1:] - X[:1] * L[1:]) - S[1:]
+        return jnp.concatenate([out0, outt], axis=0)
 
     # --------------------------------------------------- conv-stage helpers
     @staticmethod
     def _relu_gate(X):
-        """X ⊙ 1{X₀>0}: relu for the primal group, its JVP for tangents."""
-        return X * (X[:, :1] > 0).astype(X.dtype)
+        """X ⊙ 1{X₀>0}: relu for the primal group, its JVP for tangents.
+        The group-0 slice is a contiguous leading-dim view — no relayout."""
+        return X * (X[:1] > 0).astype(X.dtype)
 
     @staticmethod
-    def _group0(G, c, b, dtype):
-        """(1, G, C, 1, 1) bias mask touching only the primal group."""
-        mask = jnp.zeros((1, G, 1, 1, 1), dtype).at[0, 0].set(1.0)
-        return mask * b[None, None, :, None, None]
-
-    def _conv(self, X, w, b=None):
-        B, G = X.shape[:2]
-        out = _conv2d(X.reshape(B * G, *X.shape[2:]), w)
-        out = out.reshape(B, G, *out.shape[1:])
+    def _conv(X, w, b=None):
+        """Conv over the merged (G·B, C, H, W) batch; the (G, B) merge is a
+        leading-dims reshape — free under TPU tiled layouts. Bias touches
+        only the primal group."""
+        G, B = X.shape[:2]
+        out = _conv2d(X.reshape(G * B, *X.shape[2:]), w)
+        out = out.reshape(G, B, *out.shape[1:])
         if b is not None:
-            out = out + self._group0(G, out.shape[2], b, out.dtype)
+            mask = jnp.zeros((G, 1, 1, 1, 1), out.dtype).at[0].set(1.0)
+            out = out + mask * b[None, None, :, None, None]
         return out
 
-    def _resnet_aug(self, net, p, X):
+    def _resnet_aug(self, p, X):
         """Augmented ResNet coupler forward (networks.py:116-161 without
         batch-norm, which the image non-square configs disable —
         images.py `resnet_batchnorm: False`)."""
@@ -196,30 +207,32 @@ class _DenseDecodeProgram:
         out = self._conv(out, p["conv_out"]["w"], p["conv_out"]["b"])
         # Scaled-tanh head (networks.py:96-113): w·tanh(h)+b on the primal,
         # w·(1−tanh²(h₀))·t on tangents.
-        h0 = out[:, :1]
+        h0 = out[:1]
         th = jnp.tanh(h0)
         hw = p["head_w"][None, None]
         hb = p["head_b"][None, None]
         primal = hw * th + hb
-        tang = hw * (1.0 - th * th) * out[:, 1:]
-        return jnp.concatenate([primal, tang], axis=1)
+        tang = hw * (1.0 - th * th) * out[1:]
+        return jnp.concatenate([primal, tang], axis=0)
 
     def _coupler_out(self, step, params, Cin):
         cp = _fetch(params, step["path"] + ("bijection", "coupler"))
-        out = self._resnet_aug(step["net"], cp, Cin)
+        # Rematerialise: backward recomputes this coupler's hidden conv
+        # activations instead of keeping ~(G·B, 64, H, W) alive per conv.
+        out = jax.checkpoint(self._resnet_aug)(cp, Cin)
         c = out.shape[2]
         return out[:, :, : c // 2], out[:, :, c // 2 :]  # shift, log-scale
 
     def _conv_acl(self, step, params, X):
         if step["mode"] == "checkerboard":
-            m = step["mask"][None]  # (1, 1, 1, H, W) — broadcasts over (B,G,C)
+            m = step["mask"][None]  # (1, 1, 1, H, W) — broadcasts over (G,B,C)
             S_, L_ = self._coupler_out(step, params, m * X)
-            E0 = jnp.exp(-L_[:, :1])
-            x0 = m * X[:, :1] + (1 - m) * (X[:, :1] * E0 - S_[:, :1])
-            xt = m * X[:, 1:] + (1 - m) * (
-                E0 * (X[:, 1:] - X[:, :1] * L_[:, 1:]) - S_[:, 1:]
+            E0 = jnp.exp(-L_[:1])
+            x0 = m * X[:1] + (1 - m) * (X[:1] * E0 - S_[:1])
+            xt = m * X[1:] + (1 - m) * (
+                E0 * (X[1:] - X[:1] * L_[1:]) - S_[1:]
             )
-            return jnp.concatenate([x0, xt], axis=1)
+            return jnp.concatenate([x0, xt], axis=0)
         # channel-split (acl.py:169-189): passthrough channels drive the
         # coupler; modified channels invert as x = z·e^{−s} − t.
         C = X.shape[2]
@@ -229,10 +242,10 @@ class _DenseDecodeProgram:
         else:
             pas, mod = X[:, :, :n_pass], X[:, :, n_pass:]
         S_, L_ = self._coupler_out(step, params, pas)
-        E0 = jnp.exp(-L_[:, :1])
-        mod0 = mod[:, :1] * E0 - S_[:, :1]
-        modt = E0 * (mod[:, 1:] - mod[:, :1] * L_[:, 1:]) - S_[:, 1:]
-        mod_new = jnp.concatenate([mod0, modt], axis=1)
+        E0 = jnp.exp(-L_[:1])
+        mod0 = mod[:1] * E0 - S_[:1]
+        modt = E0 * (mod[1:] - mod[:1] * L_[1:]) - S_[1:]
+        mod_new = jnp.concatenate([mod0, modt], axis=0)
         parts = [mod_new, pas] if step["reverse_mask"] else [pas, mod_new]
         return jnp.concatenate(parts, axis=2)
 
@@ -249,11 +262,11 @@ class _DenseDecodeProgram:
         x0 = jnp.zeros((B, D), z.dtype).at[:, :d].set(z)
         basis = jnp.zeros((d, D), z.dtype).at[:, :d].set(jnp.eye(d, dtype=z.dtype))
         X = jnp.concatenate(
-            [x0[:, None, :], jnp.broadcast_to(basis[None], (B, d, D))], axis=1
+            [x0[None], jnp.broadcast_to(basis[:, None], (d, B, D))], axis=0
         )
         X = X[:, :, tail_state["inverse_permutation"]]
         if len(self.tail_shape) > 1:
-            X = X.reshape(B, d + 1, *self.tail_shape)
+            X = X.reshape(d + 1, B, *self.tail_shape)
 
         for step in self.steps:
             kind = step["kind"]
@@ -273,7 +286,7 @@ class _DenseDecodeProgram:
                     scale = scale * jnp.exp(-p["log_scale"])
                     shift = shift - p["shift"] * scale
                 X = jnp.concatenate(
-                    [X[:, :1] * scale + shift, X[:, 1:] * scale], axis=1
+                    [X[:1] * scale + shift, X[1:] * scale], axis=0
                 )
             elif kind == "perm":
                 s = _fetch(state, step["path"] + ("bijection",))
@@ -281,16 +294,16 @@ class _DenseDecodeProgram:
             elif kind == "flip":
                 X = jnp.flip(X, axis=-1)
             elif kind == "view":
-                X = X.reshape(B, d + 1, *step["shape"])
+                X = X.reshape(d + 1, B, *step["shape"])
             elif kind == "squeeze_inv":
                 # reshaping.py:98-104 glow unsqueeze, with the group axis
-                # riding along at position 1.
+                # riding along in front.
                 zc, zh, zw = step["z_shape"]
                 f = step["factor"]
                 c, h, w = step["x_shape"]
-                X = X.reshape(B, d + 1, zc // f**2, f, f, zh, zw)
+                X = X.reshape(d + 1, B, zc // f**2, f, f, zh, zw)
                 X = X.transpose(0, 1, 2, 5, 3, 6, 4)
-                X = X.reshape(B, d + 1, c, h, w)
+                X = X.reshape(d + 1, B, c, h, w)
             elif kind == "split_pad":
                 # Multi-scale factor-out: decode zero-pads the second half
                 # (split.py:40-41); tangents pad with zeros likewise.
@@ -298,8 +311,8 @@ class _DenseDecodeProgram:
             else:  # pragma: no cover
                 raise AssertionError(kind)
 
-        recon = X[:, 0].reshape(B, -1)
-        jac_cols = jnp.moveaxis(X[:, 1:].reshape(B, d, -1), 0, 1)  # (d, B, D)
+        recon = X[0].reshape(B, -1)
+        jac_cols = X[1:].reshape(d, B, -1)
         return recon, jac_cols
 
 
@@ -375,11 +388,11 @@ def extract_dense_decode_program(head):
                 return None
             steps_down.append({"kind": "flip"})
         elif isinstance(bij, RandomChannelwisePermutationBijection):
-            # Channel axis: -1 for flat stages, 2 for (B, G, C, H, W).
+            # Channel axis: -1 for flat stages, 2 for (G, B, C, H, W).
             axis = -1 if len(bij.x_shape) == 1 else 2
             steps_down.append({"kind": "perm", "path": path, "axis": axis})
         elif isinstance(bij, BatchNormBijection):
-            # param_shape broadcasts over both (B, G, D) and (B, G, C, H, W).
+            # param_shape broadcasts over both (G, B, D) and (G, B, C, H, W).
             steps_down.append({"kind": "bn", "path": path, "bij": bij})
         elif isinstance(bij, Checkerboard2dCouplingBijection):
             if not (

@@ -106,6 +106,23 @@ def test_run_eval_sharded_equals_single_device(rng):
         np.testing.assert_allclose(single[k], sharded[k], rtol=1e-5, atol=1e-6)
 
 
+def test_scaling_efficiency_8_devices():
+    """Data-parallel scaling on the 8-device CPU mesh must hold the
+    BASELINE north-star bound (>=80% linear samples/s efficiency). This is a
+    machinery check (GSPMD gradient psum, batch sharding) — ICI bandwidth
+    needs real chips; the committed SCALING_cpu8.json artifact documents the
+    single-chip container limitation."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from benchmarks.scaling import measure
+
+    sps1 = measure(1, per_device_batch=128, n_steps=5, depth=2)
+    sps8 = measure(8, per_device_batch=128, n_steps=5, depth=2)
+    eff = sps8 / (8 * sps1)
+    assert eff >= 0.8, f"scaling efficiency {eff:.3f} < 0.8 at 8 devices"
+
+
 def test_grid_scheduler():
     from cmf_tpu.parallel import grid_jobs, host_shard
 
