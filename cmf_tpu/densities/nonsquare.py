@@ -207,9 +207,15 @@ class NonSquareHeadDensity(Density):
         jittered Cholesky log-det."""
         batch, d = z.shape
         program = self._dense_decode_program() if pstate is not None else None
-        if program is not None:
+        # Conv chains: the generic linearize+vmap fan-out measures FASTER than
+        # the dense program on the v5e (132 vs ~530 ms at the mnist geometry —
+        # the 64-channel conv stacks are conv-throughput-bound either way and
+        # the program's group bookkeeping adds traffic), so the program only
+        # serves flat chains here. It remains available (parity-tested) via
+        # hutchinson_solver='gram' and the multichip dryrun.
+        if program is not None and not program.has_conv:
             # Fast path (ops/decode_jac.py): primal + d tangent columns as one
-            # (B, d+1, D) tensor through gather-free folded-weight layers.
+            # (d+1, B, D) tensor through gather-free folded-weight layers.
             pv = {"params": variables["params"]["prior"], "state": pstate}
             recon_flat, jac_cols = program(pv, z, train=train)
         else:

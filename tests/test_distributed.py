@@ -4,6 +4,7 @@ batch sharded over an 8-device CPU mesh must equal the single-device run."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from cmf_tpu.config import expand_grid, get_config, get_schema
@@ -106,6 +107,9 @@ def test_run_eval_sharded_equals_single_device(rng):
         np.testing.assert_allclose(single[k], sharded[k], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # timing-sensitive: needs the host to itself (xdist
+# workers contending for the same cores tank the measured efficiency);
+# run explicitly with `pytest -m slow -k scaling`.
 def test_scaling_efficiency_8_devices():
     """Data-parallel scaling on the 8-device CPU mesh must hold the
     BASELINE north-star bound (>=80% linear samples/s efficiency). This is a
