@@ -52,6 +52,21 @@ def von_mises_circle_kl(density, variables, num=1000):
     return float(np.sum(p_gt * (log_gt - log_model)))
 
 
+def _setup_compile_cache():
+    """Persistent XLA compile cache (as bench.py): the battery runs the same
+    jit variants across 5 seeds x 4 datasets — without this every process
+    restart pays the full tunnel compile again."""
+    import jax
+
+    cache = os.path.join(os.path.expanduser("~/.cache/cmf_tpu_xla"), jax.default_backend())
+    os.makedirs(cache, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def run_one(dataset, seed, epochs, runs_dir):
     from cmf_tpu.config import expand_grid, get_config
     from cmf_tpu.training import load_run, test_and_visualize, train
@@ -109,6 +124,7 @@ def main(argv=None):
     ap.add_argument("--runs-dir", default="runs_battery")
     ap.add_argument("--out", default=None, help="markdown output path")
     args = ap.parse_args(argv)
+    _setup_compile_cache()
 
     # "loss" is the 2-D test metric (pure -elbo with regularizers off,
     # experiment.py:605-606)
