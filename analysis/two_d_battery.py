@@ -35,13 +35,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def von_mises_circle_kl(density, variables, num=1000):
-    """KL(vonMises(κ=1, loc=π/2) ‖ p_model) on a θ grid along the unit circle."""
+    """KL(vonMises(κ=1, loc=π/2) ‖ p_model) on a θ grid along the unit circle.
+
+    The model density is exp(elbo) at circle points — the reference's
+    visualization likelihood (reconstruction OFF, visualizer.py:1546-1550).
+    Caveat this inherits from the flat-latent topology: an ℝ chart cannot
+    close the circle, so the model has a SEAM where the elbo collapses by
+    tens of nats even when the angular sample distribution there is fine —
+    this forward KL punishes the seam catastrophically. Report it alongside
+    ``von_mises_sample_kl`` (seam-robust)."""
     import jax.numpy as jnp
     from scipy.special import i0
 
     theta = np.linspace(-np.pi, np.pi, num=num, endpoint=False)
     xy = np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
-    info, _ = density.elbo(variables, jnp.asarray(xy), train=False)
+    info, _ = density.elbo(
+        variables, jnp.asarray(xy), train=False,
+        add_reconstruction=False, likelihood_wt=1.0,
+    )
     log_model = np.asarray(info["elbo"], dtype=np.float64)
     # normalize both over the grid (dθ cancels)
     log_model = log_model - (np.log(np.sum(np.exp(log_model - log_model.max())))
@@ -50,6 +61,26 @@ def von_mises_circle_kl(density, variables, num=1000):
     log_gt = log_gt - (np.log(np.sum(np.exp(log_gt - log_gt.max()))) + log_gt.max())
     p_gt = np.exp(log_gt)
     return float(np.sum(p_gt * (log_gt - log_model)))
+
+
+def von_mises_sample_kl(density, variables, num_samples=50_000, bins=72, seed=0):
+    """KL(vonMises(κ=1, loc=π/2) ‖ angle-histogram of model samples): the
+    seam-robust quality number — measures whether the model's SAMPLES
+    reproduce the angular law, independent of where the flat-latent chart
+    places its seam. Reference scale: a uniform circle scores
+    κ·I1/I0 − log I0 ≈ 0.21; an untrained model is ≫ 1."""
+    import jax
+    from scipy.special import i0
+
+    s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
+    ang = np.arctan2(s[:, 1], s[:, 0])
+    counts, edges = np.histogram(ang, bins=bins, range=(-np.pi, np.pi))
+    p_model = (counts + 0.5) / (counts + 0.5).sum()  # Jeffreys-smoothed
+    centers = (edges[:-1] + edges[1:]) / 2
+    log_gt = np.sin(centers) - np.log(2 * np.pi * i0(1.0))
+    p_gt = np.exp(log_gt)
+    p_gt = p_gt / p_gt.sum()
+    return float(np.sum(p_gt * (np.log(p_gt) - np.log(p_model))))
 
 
 def _setup_compile_cache():
@@ -96,6 +127,7 @@ def run_one(dataset, seed, epochs, runs_dir):
     if dataset == "von-mises-circle":
         loaded = load_run(run_dir)
         results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
+        results["sample_angle_kl"] = von_mises_sample_kl(loaded["density"], loaded["variables"])
         with open(os.path.join(run_dir, "metrics.json"), "w") as f:
             json.dump(results, f, indent=4)
     return run_dir, results
@@ -128,7 +160,7 @@ def main(argv=None):
 
     # "loss" is the 2-D test metric (pure -elbo with regularizers off,
     # experiment.py:605-606)
-    scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl")
+    scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl", "sample_angle_kl")
     table = {}
     for dataset in args.datasets:
         rows = []

@@ -10,7 +10,8 @@ with synthetic data, and prints ONE JSON line:
   d=21, batch 400 — the hot path of SURVEY.md §3.2), vs the stored anchor.
 * extra.mnist_samples_per_s_per_chip: full mnist non-square config
   (multiscale-realnvp, hutch log-det d=20, batch 50 — images.py:120-178),
-  with the default exact-Gram Hutchinson solver.
+  with the default solver resolution (iterative CG with the peeled first
+  matvec for conv chains — ops/cg.py).
 * extra.logdet_evals_per_s: JᵀJ Gram+Cholesky log-det kernel rate at the
   miniboone geometry (B=400, d=21, D=43).
 

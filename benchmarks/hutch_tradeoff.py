@@ -123,18 +123,18 @@ def main(dataset="mnist"):
         return float(np.mean(vals)), float(np.std(vals)), float(exact())
 
     cells = [
-        ("gram", 1, 20),
-        ("gram", 4, 20),
-        ("cg", 1, 20),
+        ("gram", 1, 20),   # exact-Gram via the dense conv fan-out program
+        ("cg", 1, 20),     # the reference image default (cg_tolerance=1)
         ("cg", 1, 10),
         ("cg", 4, 10),
         ("cg", 4, 5),
     ]
+    rows = []
     for solver, S, max_iter in cells:
         cfg, density, variables = build(solver, S, max_iter)
         ms = step_ms(cfg, density, variables)
         mean, std, exact_val = estimator_stats(cfg, density, variables)
-        print(json.dumps({
+        row = {
             "solver": solver,
             "hutchinson_samples": S,
             "max_cg_iterations": max_iter,
@@ -144,7 +144,19 @@ def main(dataset="mnist"):
             "surrogate_std": round(std, 4),
             "exact_train_elbo": round(exact_val, 4),
             "surrogate_value_drift": round(abs(mean - exact_val), 4),
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    out = os.environ.get("HUTCH_TRADEOFF_OUT")
+    if out:
+        import jax as _jax
+
+        with open(out, "w") as f:
+            json.dump(
+                {"dataset": dataset, "device_kind": _jax.devices()[0].device_kind,
+                 "rows": rows},
+                f, indent=2,
+            )
 
 
 if __name__ == "__main__":

@@ -237,6 +237,34 @@ def test_image_nonsquare_fid_validation(tmp_path):
     assert "fid" in results and np.isfinite(results["fid"])
 
 
+@pytest.mark.slow
+def test_von_mises_circle_battery_kl(tmp_path):
+    """Shortened 1-seed quality-battery run (analysis/two_d_battery.py): the
+    trained circle model's pullback density along the manifold must beat a
+    sanity KL threshold against the closed-form von-Mises ground truth
+    (reference visualizer.py:1575-1583). The full 5-seed battery result is
+    committed in RESULTS.md."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from analysis.two_d_battery import main as battery_main
+
+    table = battery_main([
+        "--seeds", "1", "--epochs", "400",
+        "--datasets", "von-mises-circle",
+        "--runs-dir", str(tmp_path / "runs"),
+    ])
+    sample_kl, _, n = table["von-mises-circle"]["sample_angle_kl"]
+    assert n == 1
+    # A uniform circle scores KL = κ·I1/I0 − log I0 ≈ 0.21 against
+    # vonMises(κ=1); the trained model's angular sample law must beat that.
+    assert np.isfinite(sample_kl) and sample_kl < 0.2, f"sample-angle KL {sample_kl}"
+    # The elbo-based pullback KL is seam-dominated (flat-latent chart cannot
+    # close the circle — see two_d_battery.von_mises_circle_kl); sanity only.
+    pb_kl, _, _ = table["von-mises-circle"]["pullback_kl"]
+    assert np.isfinite(pb_kl) and pb_kl < 4.0, f"pullback KL {pb_kl}"
+
+
 def test_optimizer_variants(tmp_path):
     """sgd/adamax + cosine schedule + grad clipping + checkpoints=none all
     build and step (experiment.py:515-555 surface)."""
