@@ -146,6 +146,43 @@ def aggregate(rows):
     return out
 
 
+def reaggregate(runs_dir, datasets):
+    """Rebuild per-dataset rows from existing run dirs: reload each run,
+    recompute the circle KLs with the current metric code, and patch its
+    metrics.json — lets the table be regenerated without retraining."""
+    from cmf_tpu.training import load_run
+
+    table_rows = {}
+    for dataset in datasets:
+        ddir = os.path.join(runs_dir, dataset)
+        if not os.path.isdir(ddir):
+            continue
+        rows = []
+        for run in sorted(os.listdir(ddir)):
+            run_dir = os.path.join(ddir, run)
+            mpath = os.path.join(run_dir, "metrics.json")
+            if not os.path.exists(mpath):
+                continue
+            with open(mpath) as f:
+                results = json.load(f)
+            if dataset == "von-mises-circle":
+                loaded = load_run(run_dir)
+                results["pullback_kl"] = von_mises_circle_kl(
+                    loaded["density"], loaded["variables"]
+                )
+                results["sample_angle_kl"] = von_mises_sample_kl(
+                    loaded["density"], loaded["variables"]
+                )
+                with open(mpath, "w") as f:
+                    json.dump(results, f, indent=4)
+            rows.append(results)
+            print(json.dumps({"dataset": dataset, "run": run_dir,
+                              **{k: v for k, v in results.items()
+                                 if isinstance(v, (int, float))}}), flush=True)
+        table_rows[dataset] = rows
+    return table_rows
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--seeds", type=int, default=5)
@@ -155,25 +192,36 @@ def main(argv=None):
                     default=["von-mises-circle", "sphere", "fuzzy-line", "sinusoid"])
     ap.add_argument("--runs-dir", default="runs_battery")
     ap.add_argument("--out", default=None, help="markdown output path")
+    ap.add_argument("--reaggregate", action="store_true",
+                    help="skip training; rebuild the table from --runs-dir")
     args = ap.parse_args(argv)
     _setup_compile_cache()
 
     # "loss" is the 2-D test metric (pure -elbo with regularizers off,
     # experiment.py:605-606)
     scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl", "sample_angle_kl")
+
+    def flatten(results):
+        return {
+            k: float(v)
+            for k, v in results.items()
+            if isinstance(v, (int, float)) and any(s in k for s in scalar_keys)
+        }
+
     table = {}
-    for dataset in args.datasets:
-        rows = []
-        for seed in range(args.seeds):
-            run_dir, results = run_one(dataset, seed, args.epochs, args.runs_dir)
-            flat = {}
-            for k, v in results.items():
-                if isinstance(v, (int, float)) and any(s in k for s in scalar_keys):
-                    flat[k] = float(v)
-            rows.append(flat)
-            print(json.dumps({"dataset": dataset, "seed": seed, "run": run_dir, **flat}),
-                  flush=True)
-        table[dataset] = aggregate(rows)
+    if args.reaggregate:
+        for dataset, rows in reaggregate(args.runs_dir, args.datasets).items():
+            table[dataset] = aggregate([flatten(r) for r in rows])
+    else:
+        for dataset in args.datasets:
+            rows = []
+            for seed in range(args.seeds):
+                run_dir, results = run_one(dataset, seed, args.epochs, args.runs_dir)
+                flat = flatten(results)
+                rows.append(flat)
+                print(json.dumps({"dataset": dataset, "seed": seed, "run": run_dir, **flat}),
+                      flush=True)
+            table[dataset] = aggregate(rows)
 
     lines = [
         "| dataset | metric | mean ± stderr | n |",
