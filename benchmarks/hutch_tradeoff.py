@@ -123,19 +123,29 @@ def main(dataset="mnist"):
         return float(np.mean(vals)), float(np.std(vals)), float(exact())
 
     cells = [
-        ("gram", 1, 20),   # exact-Gram via the dense conv fan-out program
-        ("cg", 1, 20),     # the reference image default (cg_tolerance=1)
-        ("cg", 1, 10),
-        ("cg", 4, 10),
-        ("cg", 4, 5),
+        ("gram", 1, 20, "fp32"),   # exact-Gram via the dense conv fan-out program
+        ("cg", 1, 20, "fp32"),     # the reference image default (cg_tolerance=1)
+        ("cg", 1, 10, "fp32"),
+        ("cg", 4, 10, "fp32"),
+        ("cg", 4, 5, "fp32"),
+        # bf16 coupler convs (fp32 Gram/Cholesky/CG stay pinned): measures the
+        # MXU fast path on the SAME workload. Within-row drift stays an
+        # estimator property (exact is recomputed under the same dtype); the
+        # bf16 numerics shift is this row's exact_train_elbo vs the fp32 rows'
+        # (identical params across cells — init is dtype-policy independent).
+        ("cg", 1, 20, "bf16"),
     ]
+    from cmf_tpu.nets import compute_dtype
+
     rows = []
-    for solver, S, max_iter in cells:
-        cfg, density, variables = build(solver, S, max_iter)
-        ms = step_ms(cfg, density, variables)
-        mean, std, exact_val = estimator_stats(cfg, density, variables)
+    for solver, S, max_iter, dtype in cells:
+        with compute_dtype("bfloat16" if dtype == "bf16" else "float32"):
+            cfg, density, variables = build(solver, S, max_iter)
+            ms = step_ms(cfg, density, variables)
+            mean, std, exact_val = estimator_stats(cfg, density, variables)
         row = {
             "solver": solver,
+            "compute_dtype": dtype,
             "hutchinson_samples": S,
             "max_cg_iterations": max_iter,
             "ms_per_step": round(ms, 2),
