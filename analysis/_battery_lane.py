@@ -29,7 +29,16 @@ def main():
     for pair in args.pairs:
         dataset, seed = pair.rsplit(":", 1)
         run_dir, results = run_one(dataset, int(seed), args.epochs, args.runs_dir)
-        flat = {k: float(v) for k, v in results.items() if isinstance(v, (int, float))}
+        import numpy as np
+
+        # np.floating/np.integer are not Python float/int subclasses, and bool
+        # IS an int subclass — filter accordingly (round-3 advisor finding).
+        flat = {
+            k: float(v)
+            for k, v in results.items()
+            if isinstance(v, (int, float, np.floating, np.integer))
+            and not isinstance(v, bool)
+        }
         print(json.dumps({"dataset": dataset, "seed": int(seed),
                           "run": run_dir, **flat}), flush=True)
 

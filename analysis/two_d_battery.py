@@ -99,6 +99,50 @@ def von_mises_sample_kl(density, variables, num_samples=50_000, bins=72, seed=0)
     return float(np.sum(p_gt * (np.log(p_gt) - np.log(p_model))))
 
 
+def sphere_radius_mae(density, variables, num_samples=20_000, seed=0, coords=None):
+    """Mean |‖x‖−1| of model samples — analytic oracle for the unit-sphere
+    families (hemisphere-2-6 is isometrically embedded so the full R⁶ norm is
+    1; randomized-s2inr6-* carries the sphere in its first 3 coordinates, so
+    pass coords=3). The data itself scores ≈ the noise scale (0.01-0.03)."""
+    import jax
+
+    s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
+    if coords is not None:
+        s = s[:, :coords]
+    radius = np.linalg.norm(s, axis=1)
+    return float(np.mean(np.abs(radius - 1.0)))
+
+
+def sinusoid_z_kl(density, variables, sigma_m=0.1, num_samples=50_000, bins=60, seed=0):
+    """KL(N(0, σ_m) ‖ histogram of the model's last ambient coordinate):
+    sinusoid-d'-d embeds the latent Gaussian as the trailing coordinate(s)
+    (two_d.py:48-74 hstack), so the marginal law there is known in closed
+    form. Jeffreys-smoothed histogram, analytic density on bin centers."""
+    import jax
+
+    s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
+    z = s[:, -1]
+    std = math.sqrt(sigma_m)
+    lo, hi = -4 * std, 4 * std
+    counts, edges = np.histogram(np.clip(z, lo, hi), bins=bins, range=(lo, hi))
+    p_model = (counts + 0.5) / (counts + 0.5).sum()
+    centers = (edges[:-1] + edges[1:]) / 2
+    log_gt = -0.5 * (centers / std) ** 2
+    p_gt = np.exp(log_gt)
+    p_gt = p_gt / p_gt.sum()
+    return float(np.sum(p_gt * (np.log(p_gt) - np.log(p_model))))
+
+
+def record_provenance(results):
+    """Stamp the producing backend into metrics.json so mixed TPU/CPU-lane
+    batteries stay attributable (round-3 advisor finding)."""
+    import jax
+
+    results["backend"] = jax.default_backend()
+    results["device_kind"] = getattr(jax.devices()[0], "device_kind", "unknown")
+    return results
+
+
 def _setup_compile_cache():
     """Persistent XLA compile cache (as bench.py): the battery runs the same
     jit variants across 5 seeds x 4 datasets — without this every process
@@ -142,6 +186,27 @@ PROTOCOL = {
         "likelihood_warmup": False,
         "latent_dimension": 3,
     },
+    # Paper synthetic families (README.md:62-70 sinusoid protocol transferred;
+    # the s2inr6 noise family has no published command — sphere-like lr).
+    "sinusoid-1-6": {
+        "g_ij_loss": True,
+        "lr": 0.0007,
+        "likelihood_warmup": False,
+        "latent_dimension": 6,
+    },
+    "hemisphere-2-6": {"g_ij_loss": True, "lr": 0.001, "latent_dimension": 6},
+    "randomized-s2inr6-003": {"g_ij_loss": True, "lr": 0.001, "latent_dimension": 6},
+}
+
+# Post-run analytic oracles per dataset (beyond the circle KLs): callables
+# (density, variables) -> float, merged into metrics.json.
+ORACLES = {
+    "hemisphere-2-6": {"sphere_radius_mae": lambda d, v: sphere_radius_mae(d, v)},
+    "randomized-s2inr6-003": {
+        "sphere_radius_mae": lambda d, v: sphere_radius_mae(d, v, coords=3)
+    },
+    "sinusoid-1-6": {"sinusoid_z_kl": lambda d, v: sinusoid_z_kl(d, v)},
+    "sinusoid-1-3": {"sinusoid_z_kl": lambda d, v: sinusoid_z_kl(d, v)},
 }
 
 
@@ -172,12 +237,16 @@ def run_one(dataset, seed, epochs, runs_dir):
     run_dir = setup["writer"].logdir
     results = test_and_visualize(config, run_dir, overwrite=True)
 
-    if dataset == "von-mises-circle":
+    record_provenance(results)
+    if dataset == "von-mises-circle" or dataset in ORACLES:
         loaded = load_run(run_dir)
-        results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
-        results["sample_angle_kl"] = von_mises_sample_kl(loaded["density"], loaded["variables"])
-        with open(os.path.join(run_dir, "metrics.json"), "w") as f:
-            json.dump(results, f, indent=4)
+        if dataset == "von-mises-circle":
+            results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
+            results["sample_angle_kl"] = von_mises_sample_kl(loaded["density"], loaded["variables"])
+        for name, fn in ORACLES.get(dataset, {}).items():
+            results[name] = fn(loaded["density"], loaded["variables"])
+    with open(os.path.join(run_dir, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=4)
     return run_dir, results
 
 
@@ -213,14 +282,17 @@ def reaggregate(runs_dir, datasets):
                 continue
             with open(mpath) as f:
                 results = json.load(f)
-            if dataset == "von-mises-circle":
+            if dataset == "von-mises-circle" or dataset in ORACLES:
                 loaded = load_run(run_dir)
-                results["pullback_kl"] = von_mises_circle_kl(
-                    loaded["density"], loaded["variables"]
-                )
-                results["sample_angle_kl"] = von_mises_sample_kl(
-                    loaded["density"], loaded["variables"]
-                )
+                if dataset == "von-mises-circle":
+                    results["pullback_kl"] = von_mises_circle_kl(
+                        loaded["density"], loaded["variables"]
+                    )
+                    results["sample_angle_kl"] = von_mises_sample_kl(
+                        loaded["density"], loaded["variables"]
+                    )
+                for name, fn in ORACLES.get(dataset, {}).items():
+                    results[name] = fn(loaded["density"], loaded["variables"])
                 with open(mpath, "w") as f:
                     json.dump(results, f, indent=4)
             rows.append(results)
@@ -248,13 +320,16 @@ def main(argv=None):
 
     # "loss" is the 2-D test metric (pure -elbo with regularizers off,
     # experiment.py:605-606)
-    scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl", "sample_angle_kl")
+    scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl",
+                   "sample_angle_kl", "sphere_radius_mae", "sinusoid_z_kl")
 
     def flatten(results):
         return {
             k: float(v)
             for k, v in results.items()
-            if isinstance(v, (int, float)) and any(s in k for s in scalar_keys)
+            if isinstance(v, (int, float, np.floating, np.integer))
+            and not isinstance(v, bool)
+            and any(s in k for s in scalar_keys)
         }
 
     table = {}

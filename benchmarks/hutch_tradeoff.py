@@ -139,6 +139,10 @@ def main(dataset="mnist"):
 
     rows = []
     for solver, S, max_iter, dtype in cells:
+        # NOTE: _COMPUTE_DTYPE is read at TRACE time, so `build`/`step_ms`/
+        # `estimator_stats` must construct fresh jit closures per cell (they
+        # do). Hoisting any of those jits to module level would silently reuse
+        # the fp32-compiled cache for the bf16 row.
         with compute_dtype("bfloat16" if dtype == "bf16" else "float32"):
             cfg, density, variables = build(solver, S, max_iter)
             ms = step_ms(cfg, density, variables)

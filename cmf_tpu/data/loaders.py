@@ -149,6 +149,15 @@ def get_loaders(dataset, config, seed=0, sharding=None, synthetic=None, data_roo
     else:
         raise AssertionError(f"Unknown dataset `{dataset}'")
 
+    # Optional split truncation (battery / CI affordance, not a reference
+    # feature): caps every split so short synthetic-data studies control
+    # steps-per-epoch explicitly.
+    max_size = config.get("max_dataset_size")
+    if max_size:
+        train_x = train_x[: int(max_size)]
+        valid_x = valid_x[: int(max_size)]
+        test_x = test_x[: int(max_size)]
+
     train_loader = ArrayLoader(
         train_x, config["train_batch_size"], shuffle=True, drop_last=True,
         seed=seed, sharding=sharding,

@@ -79,6 +79,50 @@ def macs(density, variables, z):
     return float(jnp.mean(per_example)), np.asarray(jnp.mean(jnp.abs(cos), axis=0))
 
 
+def canonical_metric_summary(density, variables, x, max_points=256,
+                             var_threshold=0.95):
+    """Scalar canonical-metric diagnostics for the CMF-vs-RNF A/B comparison
+    (README.md:213-235: CMF's claim is that the g_ij regularizer drives the
+    decoder metric toward canonical form — lower MACS, more diagonal JᵀJ,
+    variance concentrated in fewer latent axes).
+
+    Returns a flat dict:
+      * ``macs`` — mean absolute cosine similarity of Jacobian columns;
+      * ``g_diag_dominance`` — mean_i |g_ii| / Σ_j |g_ij| (1.0 = diagonal);
+      * ``g_offdiag_ratio`` — Σ off-diag |g_ij| / Σ diag |g_ii| (0 = diagonal);
+      * ``effective_dim_variance`` — latent axes needed for ``var_threshold``
+        of cumulative latent variance (visualizer.py:399-538 dumps);
+      * ``effective_dim_gkk`` — same threshold applied to sorted g_kk mass.
+    """
+    x = jnp.asarray(x)[:max_points]
+    z = density.extract_latent(variables, x)
+    macs_value, _ = macs(density, variables, z)
+
+    g = metric_tensor(density, variables, z)
+    diag = jnp.abs(jnp.diagonal(g, axis1=-2, axis2=-1))  # (B, d)
+    row_abs = jnp.sum(jnp.abs(g), axis=-1)  # (B, d)
+    diag_dominance = float(jnp.mean(diag / (row_abs + 1e-12)))
+    offdiag_ratio = float(
+        jnp.mean(jnp.sum(row_abs - diag, axis=-1) / (jnp.sum(diag, axis=-1) + 1e-12))
+    )
+
+    def _effective_dim(mass):
+        mass = np.asarray(mass, dtype=np.float64)
+        mass = np.sort(mass)[::-1]
+        cum = np.cumsum(mass) / max(mass.sum(), 1e-30)
+        return int(np.searchsorted(cum, var_threshold) + 1)
+
+    _, _, cumfrac = latent_variance_sort(density, variables, x)
+    g_kk = np.asarray(jnp.mean(diag, axis=0))
+    return {
+        "macs": macs_value,
+        "g_diag_dominance": diag_dominance,
+        "g_offdiag_ratio": offdiag_ratio,
+        "effective_dim_variance": int(np.searchsorted(np.asarray(cumfrac), var_threshold) + 1),
+        "effective_dim_gkk": _effective_dim(g_kk),
+    }
+
+
 class ImageMetricDensityVisualizer:
     """Post-hoc metric analysis for image models (visualizer.py:169-1339):
     g_kk sort, latent variance sort, MACS matrix, prominent-z sweeps."""
