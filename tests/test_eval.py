@@ -1,6 +1,8 @@
 """Eval-layer tests: importance-sampled metrics, Fréchet distance, FID
 plumbing, pullback correctness, metric-analysis quantities."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -292,3 +294,77 @@ def test_inception_proxy_features_deterministic():
     a, b = f(x), f(x)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert a.shape[0] == 2 and a.shape[1] > 0
+
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def test_inception_weight_pipeline_golden(tmp_path):
+    """Golden-value the FULL published-comparable FID weight path (round-3
+    verdict item 6): a deterministic full-architecture state_dict flows
+    through torch.save → convert_torch_weights → load_feature_fn →
+    preprocess (uint8 grayscale → tile → 299 resize → [-1,1]) → pool3, and
+    the (4, 2048) features must match the committed golden within float
+    tolerance. A machine with the real pt_inception-2015-12-05 weights
+    (ref metrics.py:208) exercises the identical code path."""
+    import torch
+
+    from cmf_tpu.eval.inception_jax import (
+        convert_torch_weights,
+        load_feature_fn,
+        random_state_dict,
+    )
+
+    sd = {k: torch.from_numpy(v) for k, v in random_state_dict(0).items()}
+    pth = str(tmp_path / "inception_fixture.pth")
+    npz = str(tmp_path / "inception_fixture.npz")
+    torch.save(sd, pth)
+    convert_torch_weights(pth, npz)
+
+    feats_fn = load_feature_fn(npz)
+    x = np.random.default_rng(42).integers(0, 256, (4, 1, 28, 28)).astype(np.float32)
+    got = np.asarray(feats_fn(x))
+    golden = np.load(os.path.join(GOLDEN_DIR, "inception_pipeline_golden.npz"))["features"]
+    assert got.shape == (4, 2048)
+    np.testing.assert_allclose(got, golden, rtol=2e-3, atol=2e-3)
+
+
+def test_inception_validate_params_rejects_bad_dicts():
+    from cmf_tpu.eval.inception_jax import random_state_dict, validate_params
+
+    sd = random_state_dict(0)
+    validate_params(sd)  # full dict passes
+    import pytest
+
+    missing = dict(sd)
+    missing.pop("Mixed_7c.branch_pool.conv.weight")
+    with pytest.raises(ValueError, match="missing"):
+        validate_params(missing)
+    bad_shape = dict(sd)
+    bad_shape["Conv2d_1a_3x3.conv.weight"] = np.zeros((1, 1, 1, 1), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        validate_params(bad_shape)
+
+
+@pytest.mark.slow
+def test_inception_real_weights_end_to_end(tmp_path):
+    """Auto-runs when CMF_TPU_INCEPTION_WEIGHTS points at the pinned
+    pt_inception-2015-12-05 weights (.pth or converted .npz): validates the
+    key/shape spec, runs the full pipeline, and sanity-checks the features
+    (finite, non-degenerate across images)."""
+    path = os.environ.get("CMF_TPU_INCEPTION_WEIGHTS")
+    if not path or not os.path.exists(path):
+        pytest.skip("CMF_TPU_INCEPTION_WEIGHTS not set")
+    from cmf_tpu.eval.inception_jax import convert_torch_weights, load_feature_fn
+
+    if path.endswith((".pth", ".pt")):
+        npz = str(tmp_path / "real_inception.npz")
+        convert_torch_weights(path, npz)
+    else:
+        npz = path
+    feats_fn = load_feature_fn(npz)
+    x = np.random.default_rng(7).integers(0, 256, (4, 1, 28, 28)).astype(np.float32)
+    f = np.asarray(feats_fn(x))
+    assert f.shape == (4, 2048) and np.isfinite(f).all()
+    # pool3 features of distinct images must differ (weights actually loaded)
+    assert np.std(f, axis=0).max() > 1e-4
