@@ -86,3 +86,107 @@ def test_two_process_mesh_matches_single_process():
     gnorm = float(jnp.sqrt(sum(jnp.sum(g * g) for g in jax.tree.leaves(grads))))
     np.testing.assert_allclose(results[0]["loss"], float(loss), rtol=1e-5)
     np.testing.assert_allclose(results[0]["gradnorm"], gnorm, rtol=1e-4)
+
+
+def _probe_loss(density, trainer):
+    """Deterministic eval-mode objective on the first test batch."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(np.asarray(trainer.test_loader.x)[:100])
+    info, _ = density.elbo(
+        trainer._eval_variables(), x, rng=jax.random.PRNGKey(0), train=False,
+        likelihood_wt=1.0, add_reconstruction=True,
+    )
+    return float(-jnp.mean(info["elbo"]))
+
+
+def test_checkpoint_restores_across_process_topologies(tmp_path):
+    """Round-3 verdict item 8: a checkpoint SAVED under the two-process
+    8-device mesh (public experiment API, batch sharded over "data",
+    process-0-only writer) must restore SINGLE-process with
+
+    1. bitwise-equal parameters (checkpoint.py to_host claims
+       device-independence — proven across process topologies), and
+    2. a continuation loss trajectory matching an uninterrupted
+       single-process run of the same seed (optimizer moments, PRNG key and
+       epoch counters all survive the topology change; a dropped Adam state
+       or reset RNG shows up far outside the float-accumulation tolerance).
+    """
+    port = _free_port()
+    worker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "_crosstopo_worker.py"
+    )
+    run_root = str(tmp_path / "runs")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), run_root],
+            env=_worker_env(),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        results[rec["process"]] = rec
+    run_dir = results[0]["run_dir"]
+    assert run_dir and os.path.exists(os.path.join(run_dir, "config.json"))
+    np.testing.assert_allclose(
+        results[0]["fingerprint"], results[1]["fingerprint"], rtol=1e-12
+    )
+
+    import jax
+
+    from cmf_tpu.training.experiment import setup_experiment
+
+    with open(os.path.join(run_dir, "config.json")) as f:
+        config = json.load(f)
+
+    # 1. Single-process restore: parameters must match the two-process
+    # fingerprint bitwise (float64 sum of float32 |params| is exact here).
+    config_cont = {**config, "max_epochs": 4}
+    setup = setup_experiment(config_cont, resume_dir=run_dir, write_to_disk=False)
+    trainer = setup["trainer"]
+    assert trainer.epoch == 2
+    restored_fp = float(
+        sum(
+            np.float64(np.sum(np.abs(np.asarray(p))))
+            for p in jax.tree.leaves(jax.device_get(trainer.params))
+        )
+    )
+    assert restored_fp == results[0]["fingerprint"], (
+        f"restored fingerprint {restored_fp!r} != saved {results[0]['fingerprint']!r}"
+    )
+
+    # 2. Continue 2 epochs single-process, probing after each epoch.
+    resumed_traj = []
+    for _ in range(2):
+        trainer.epoch += 1
+        trainer._train_epoch(trainer.epoch)
+        resumed_traj.append(_probe_loss(setup["density"], trainer))
+
+    # Uninterrupted single-process reference with the identical config.
+    config_ref = {
+        **config,
+        "max_epochs": 2,
+        "logdir_root": str(tmp_path / "runs_ref"),
+    }
+    setup_ref = setup_experiment(config_ref, write_to_disk=False)
+    trainer_ref = setup_ref["trainer"]
+    trainer_ref.train()
+    ref_traj = []
+    for _ in range(2):
+        trainer_ref.epoch += 1
+        trainer_ref._train_epoch(trainer_ref.epoch)
+        ref_traj.append(_probe_loss(setup_ref["density"], trainer_ref))
+
+    # Epochs 1-2 ran sharded-8-device vs single-device, so the trajectories
+    # differ only by float reduction order accumulated through 2 more Adam
+    # epochs — percent-level at most; a real resume bug is orders larger.
+    np.testing.assert_allclose(resumed_traj, ref_traj, rtol=2e-2, atol=2e-2)
