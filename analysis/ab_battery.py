@@ -81,11 +81,15 @@ PROTOCOL = {
         "g_hidden_channels": [64] * 4,
         "prior_hidden_channels": [32] * 4,
         "use_fid": False,
-        "max_epochs": 80,
+        # Image non-square valid/test loss is hardcoded 0 (the reference uses
+        # FID there, experiment.py:211-214) — early stopping would freeze
+        # best_valid at the FIRST validation epoch and load_run would measure
+        # that mid-ramp state. Train the fixed schedule and measure `latest`.
+        "early_stopping": False,
+        "max_epochs": 55,
         "likelihood_warmup_start": 15,
         "likelihood_warmup_end": 30,
-        "epochs_per_test": 10,
-        "max_bad_valid_epochs": 10,
+        "epochs_per_test": 60,
     },
 }
 
@@ -257,8 +261,22 @@ def main(argv=None):
         args.aggregate = True
 
     if args.pairs:
+        import glob
+
         for pair in args.pairs:
             dataset, arm, seed = pair.rsplit(":", 2)
+            done = [
+                p
+                for p in glob.glob(
+                    os.path.join(args.runs_dir, dataset, f"*_{arm}_seed{seed}")
+                )
+                if os.path.exists(os.path.join(p, "metrics.json"))
+            ]
+            if done:  # idempotent lanes: a retry skips finished pairs
+                print(json.dumps({"dataset": dataset, "arm": arm,
+                                  "seed": int(seed), "skipped": done[0]}),
+                      flush=True)
+                continue
             run_dir, results = run_one(dataset, arm, int(seed), args.runs_dir)
             print(json.dumps({"dataset": dataset, "arm": arm, "seed": int(seed),
                               "run": run_dir, **_flatten(results)}), flush=True)
