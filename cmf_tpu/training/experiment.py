@@ -14,6 +14,7 @@ Contract: reference cmf/experiment.py. TPU-first deltas:
 import json
 import os
 import subprocess
+import warnings
 
 import numpy as np
 import jax
@@ -245,6 +246,24 @@ def setup_experiment(config, resume_dir=None, testing=False, write_to_disk=True,
             from ..eval.inception import get_feature_fn
 
             feature_fn = get_feature_fn(config)
+            if (
+                getattr(feature_fn, "extractor_kind", None) == "proxy"
+                and config["early_stopping"]
+                and not testing
+            ):
+                # FID substitutes for validation loss on image runs
+                # (trainer.py:367-371) — with the proxy extractor, early
+                # stopping and best_valid selection ride a signal whose
+                # correlation with real InceptionV3 FID is unmeasured.
+                warnings.warn(
+                    "FID-as-validation is using the random-conv PROXY "
+                    "extractor: early stopping / best-checkpoint selection "
+                    "will follow a relative tracking signal, not "
+                    "published-comparable FID. Provide "
+                    "CMF_TPU_INCEPTION_WEIGHTS (or torchvision weights) for "
+                    "real-FID model selection.",
+                    stacklevel=2,
+                )
         fid_function = get_fid_function(config, loader, feature_fn)
 
     trainer = Trainer(

@@ -228,7 +228,11 @@ def test_image_nonsquare_fid_validation(tmp_path):
             "synthetic_data": True, "nosave": True,
         }
     )
-    setup = setup_experiment(cfg, write_to_disk=False)
+    # Early stopping on the proxy extractor must be loudly disclosed
+    # (round-3 verdict weak #5: proxy-FID model selection is a relative
+    # signal whose correlation with real FID is unmeasured).
+    with pytest.warns(UserWarning, match="PROXY"):
+        setup = setup_experiment(cfg, write_to_disk=False)
     trainer = setup["trainer"]
     assert trainer.fid_function is not None
     trainer.train()
