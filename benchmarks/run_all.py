@@ -116,6 +116,17 @@ def main():
     results["logdet_evals_per_s"] = bench_logdet(config, density, variables)
     results["sampling_samples_per_s"] = bench_sampling(config, density, variables)
 
+    # Fused-MLP coupler kernel on the no-gradient sampling path: fresh jit
+    # closure per cell (the context flag is read at trace time).
+    from cmf_tpu.nets import fused_inference
+    from cmf_tpu.ops.pallas.fused_mlp import fused_mlp_available
+
+    if fused_mlp_available():
+        with fused_inference():
+            results["sampling_samples_per_s_fused_mlp"] = bench_sampling(
+                config, density, variables
+            )
+
     with compute_dtype("bfloat16"):
         config2, density2, variables2 = build()
         results["train_samples_per_s_bf16"] = bench_train(config2, density2, variables2)

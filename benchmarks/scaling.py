@@ -6,6 +6,13 @@ Measures the jitted non-square train step with the batch sharded over a
 scaling efficiency"). On a single-chip host, run with
 ``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8`` to
 validate the machinery; on a pod slice it measures real ICI scaling.
+
+NOTE on interpreting CPU-mesh numbers (SCALING_cpu8.json): a host mesh has
+no real interconnect — all "devices" share the same memory bus and two
+physical cores — so its efficiency curve validates the sharding MACHINERY,
+not the >=80%-at-N-chips ICI claim. The committed 8-"device" point also
+runs only 50 rows/device, small enough that per-dispatch overhead bends the
+trend; treat it as a plumbing check until a real pod slice is available.
 """
 
 import json

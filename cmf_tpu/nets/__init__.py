@@ -1,5 +1,6 @@
 from .core import (
     compute_dtype,
+    fused_inference,
     set_compute_dtype,
     MLP,
     ConstantNetwork,
@@ -12,6 +13,7 @@ from .core import (
 
 __all__ = [
     "compute_dtype",
+    "fused_inference",
     "set_compute_dtype",
     "MLP",
     "ConstantNetwork",

@@ -40,6 +40,24 @@ def compute_dtype(dtype):
         _COMPUTE_DTYPE[0] = old
 
 
+# Trace-time flag (like _COMPUTE_DTYPE): inside `fused_inference()`, MLP
+# couplers route through the Pallas fused-MLP kernel — whole dense chain in
+# one pallas_call, weights + intermediates resident in VMEM. Forward-only
+# (the kernel has no VJP rule), so it is opt-in on no-gradient paths:
+# sampling / FID generation (eval/fid.py sample_batches).
+_FUSED_INFERENCE = [False]
+
+
+@contextlib.contextmanager
+def fused_inference(enable=True):
+    old = _FUSED_INFERENCE[0]
+    _FUSED_INFERENCE[0] = bool(enable)
+    try:
+        yield
+    finally:
+        _FUSED_INFERENCE[0] = old
+
+
 def _matmul(x, w):
     cd = _COMPUTE_DTYPE[0]
     if cd == jnp.float32:
@@ -144,6 +162,19 @@ class MLP:
 
     def apply(self, variables, x, train=False):
         layers = variables["params"]["layers"]
+        if _FUSED_INFERENCE[0] and not train:
+            name = {jnp.tanh: "tanh", jax.nn.relu: "relu"}.get(self.activation)
+            from ..ops.pallas.fused_mlp import fused_mlp, fused_mlp_available
+
+            if name is not None and fused_mlp_available():
+                out = fused_mlp(
+                    x,
+                    tuple(p["w"] for p in layers),
+                    tuple(p["b"] for p in layers),
+                    activation_name=name,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+                return out, variables["state"]
         for i, p in enumerate(layers):
             x = _matmul(x, p["w"]) + p["b"]
             if i < len(layers) - 1:

@@ -8,12 +8,17 @@ FLOP-bound (SURVEY.md §3.2 hot path). This kernel runs the whole chain in
 one ``pallas_call``: weights live in VMEM for every row tile, intermediates
 never leave VMEM, the MXU sees back-to-back matmuls.
 
-Used on the no-gradient paths (sampling / decode for FID, eval elbo) where
-autodiff through the kernel is not required; training keeps the XLA path
-(fully differentiable in both modes, which ``jax.linearize`` requires).
+Wired behind the ``nets.fused_inference()`` trace-time context: inside it,
+``nets.core.MLP.apply`` routes whole dense chains through this kernel on
+no-gradient paths (sampling / FID generation; the kernel has no VJP rule).
+Parity: tests/test_ops.py::test_fused_mlp_matches_mlp_apply (direct, routed,
+and full non-square sampling). Measured A/B:
+``sampling_samples_per_s_fused_mlp`` in benchmarks/run_all.py. Training
+keeps the XLA path (fully differentiable, which ``jax.linearize`` requires).
 """
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -28,8 +33,15 @@ except Exception:  # pragma: no cover
     _PALLAS_OK = False
 
 
+def _env_interpret():
+    return os.environ.get("CMF_TPU_PALLAS_INTERPRET", "") == "1"
+
+
 def fused_mlp_available():
-    return _PALLAS_OK and jax.devices()[0].platform == "tpu"
+    if not _PALLAS_OK:
+        return False
+    platform = jax.devices()[0].platform
+    return platform == "tpu" or (platform == "cpu" and _env_interpret())
 
 
 def _round_up(x, m):
@@ -49,12 +61,16 @@ def _kernel(x_ref, *refs, activation, num_layers):
     out_ref[:] = h
 
 
-@functools.partial(jax.jit, static_argnames=("activation_name", "tile_rows"))
-def fused_mlp(x, weights, biases, activation_name="tanh", tile_rows=1024):
+@functools.partial(
+    jax.jit, static_argnames=("activation_name", "tile_rows", "interpret")
+)
+def fused_mlp(x, weights, biases, activation_name="tanh", tile_rows=1024,
+              interpret=False):
     """y = MLP(x) with all layers fused into one kernel.
 
     x: (N, n_in); weights: list of (n_i, n_{i+1}); biases: list of (n_{i+1},).
     Activation between layers only (matching nets.core.MLP semantics).
+    Forward-only (no VJP rule) — inference paths only.
     """
     activation = {"tanh": jnp.tanh, "relu": jax.nn.relu}[activation_name]
     num_layers = len(weights)
@@ -92,6 +108,7 @@ def fused_mlp(x, weights, biases, activation_name="tanh", tile_rows=1024):
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_rows, prev), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
     )(*operands)
     return out[:n, :n_out]
 
