@@ -154,6 +154,57 @@ def sinusoid_z_kl(density, variables, sigma_m=0.1, num_samples=50_000, bins=60, 
     return float(np.sum(p_gt * (np.log(p_gt) - np.log(p_model))))
 
 
+def von_mises_seam_analysis(density, variables, num=1000, bins=72,
+                            num_samples=50_000, drop_bins=2, seed=0):
+    """Quantify the flat-chart SEAM's contribution to the circle's
+    sample-angle KL (round-3 verdict weak #4: 'seam cost real but
+    unexplored'). An ℝ latent chart cannot close the circle: wherever the
+    chart's two ends meet, the model under-covers a neighbourhood. This
+    locates the seam as the elbo minimum over the θ grid, measures its
+    width (fraction of the grid more than 10 nats below the elbo max), and
+    recomputes the sample-angle KL with the ``drop_bins`` histogram bins
+    nearest the seam excluded (both laws renormalized over the kept bins) —
+    if the KL collapses toward the pullback KL, the gap is seam-localized.
+    """
+    import jax
+    import jax.numpy as jnp
+    from scipy.special import i0
+
+    theta = np.linspace(-np.pi, np.pi, num=num, endpoint=False)
+    xy = np.stack([np.cos(theta), np.sin(theta)], axis=1).astype(np.float32)
+    info, _ = density.elbo(
+        variables, jnp.asarray(xy), train=False,
+        add_reconstruction=False, likelihood_wt=1.0,
+    )
+    elbo = np.asarray(info["elbo"], dtype=np.float64)
+    seam_theta = float(theta[np.argmin(elbo)])
+    seam_width_frac = float(np.mean(elbo < elbo.max() - 10.0))
+
+    s = np.asarray(density.sample(variables, jax.random.PRNGKey(seed), num_samples))
+    ang = np.arctan2(s[:, 1], s[:, 0])
+    counts, edges = np.histogram(ang, bins=bins, range=(-np.pi, np.pi))
+    centers = (edges[:-1] + edges[1:]) / 2
+    log_gt = np.sin(centers) - np.log(2 * np.pi * i0(1.0))
+
+    def kl(keep):
+        p_model = (counts[keep] + 0.5) / (counts[keep] + 0.5).sum()
+        p_gt = np.exp(log_gt[keep])
+        p_gt = p_gt / p_gt.sum()
+        return float(np.sum(p_gt * (np.log(p_gt) - np.log(p_model))))
+
+    # circular distance of each bin center to the seam
+    dist = np.abs(np.angle(np.exp(1j * (centers - seam_theta))))
+    keep = np.ones(bins, dtype=bool)
+    keep[np.argsort(dist)[:drop_bins]] = False  # drop the nearest bins
+    return {
+        "seam_theta": seam_theta,
+        "seam_width_frac": seam_width_frac,
+        "sample_angle_kl": kl(np.ones(bins, dtype=bool)),
+        "sample_angle_kl_ex_seam": kl(keep),
+        "dropped_bins": int(drop_bins),
+    }
+
+
 def record_provenance(results):
     """Stamp the producing backend into metrics.json so mixed TPU/CPU-lane
     batteries stay attributable (round-3 advisor finding)."""
@@ -264,6 +315,11 @@ def run_one(dataset, seed, epochs, runs_dir):
         if dataset == "von-mises-circle":
             results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
             results["sample_angle_kl"] = von_mises_sample_kl(loaded["density"], loaded["variables"])
+            results.update(
+                {f"seam_{k}" if not k.startswith("sample") else k: v
+                 for k, v in von_mises_seam_analysis(
+                     loaded["density"], loaded["variables"]).items()}
+            )
         for name, fn in ORACLES.get(dataset, {}).items():
             results[name] = fn(loaded["density"], loaded["variables"])
     with open(os.path.join(run_dir, "metrics.json"), "w") as f:
