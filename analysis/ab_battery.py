@@ -77,7 +77,7 @@ PROTOCOL = {
         "log_jacobian_method": "cholesky",
         "latent_dimension": 10,
         "synthetic_data": True,
-        "max_dataset_size": 2500,
+        "max_dataset_size": 1500,
         "g_hidden_channels": [64] * 4,
         "prior_hidden_channels": [32] * 4,
         "use_fid": False,
@@ -86,7 +86,7 @@ PROTOCOL = {
         # best_valid at the FIRST validation epoch and load_run would measure
         # that mid-ramp state. Train the fixed schedule and measure `latest`.
         "early_stopping": False,
-        "max_epochs": 55,
+        "max_epochs": 45,
         "likelihood_warmup_start": 15,
         "likelihood_warmup_end": 30,
         "epochs_per_test": 60,
@@ -158,7 +158,8 @@ def _flatten(results):
 
 
 def collect(runs_dir, datasets):
-    """(dataset, arm) -> list of flattened metrics dicts, from run dirs."""
+    """(dataset, arm) -> list of flattened metrics dicts, from run dirs.
+    Each dict carries "seed" (parsed from the run-dir tail) for pairing."""
     rows = {}
     for dataset in datasets:
         ddir = os.path.join(runs_dir, dataset)
@@ -175,13 +176,36 @@ def collect(runs_dir, datasets):
             if arm is None:  # fall back to the run's own config
                 with open(os.path.join(run_dir, "config.json")) as f:
                     arm = "cmf" if json.load(f).get("g_ij_loss") else "rnf"
-            rows.setdefault((dataset, arm), []).append(_flatten(results))
+            flat = _flatten(results)
+            if "_seed" in run:
+                flat["seed"] = int(run.rsplit("_seed", 1)[1])
+            rows.setdefault((dataset, arm), []).append(flat)
     return rows
+
+
+def paired_macs_test(rows, dataset):
+    """Per-seed paired comparison of MACS: (n_lower, n_pairs, paired t).
+    With identical seeds per arm, pairing removes the init/data variance —
+    the sharpest in-container statement of the paper's direction claim."""
+    cmf = {r.get("seed"): r for r in rows.get((dataset, "cmf"), []) if "seed" in r}
+    rnf = {r.get("seed"): r for r in rows.get((dataset, "rnf"), []) if "seed" in r}
+    deltas = [
+        cmf[s]["canonical_macs"] - rnf[s]["canonical_macs"]
+        for s in sorted(set(cmf) & set(rnf))
+        if "canonical_macs" in cmf[s] and "canonical_macs" in rnf[s]
+    ]
+    if len(deltas) < 2:
+        return None
+    d = np.asarray(deltas, dtype=np.float64)
+    t = float(d.mean() / (d.std(ddof=1) / math.sqrt(len(d)) + 1e-30))
+    return {"n_lower": int(np.sum(d < 0)), "n_pairs": len(d), "paired_t": t,
+            "mean_delta": float(d.mean())}
 
 
 def aggregate(rows):
     out = {}
     keys = sorted(set().union(*[set(r) for r in rows])) if rows else []
+    keys = [k for k in keys if k != "seed"]
     for k in keys:
         vals = np.array([r[k] for r in rows if k in r and np.isfinite(r.get(k, np.nan))])
         if len(vals) == 0:
@@ -212,9 +236,15 @@ def render(rows, datasets):
             cm, cs, _ = cmf["canonical_macs"]
             rm, rs, _ = rnf["canonical_macs"]
             direction = "LOWER (matches README.md:224-233)" if cm < rm else "NOT lower"
+            paired = paired_macs_test(rows, dataset)
+            paired_s = (
+                f" — paired per-seed: {paired['n_lower']}/{paired['n_pairs']} "
+                f"seeds lower, t={paired['paired_t']:.2f}"
+                if paired else ""
+            )
             verdicts.append(
                 f"- **{dataset}**: MACS(cmf)={cm:.4f}±{cs:.4f} vs "
-                f"MACS(rnf)={rm:.4f}±{rs:.4f} → CMF {direction}"
+                f"MACS(rnf)={rm:.4f}±{rs:.4f} → CMF {direction}{paired_s}"
             )
     return "\n".join(lines), "\n".join(verdicts)
 
