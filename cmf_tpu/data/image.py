@@ -26,6 +26,87 @@ DATASET_SHAPES = {
 }
 
 
+def _idx_read(path):
+    """Parse an IDX file (the MNIST on-disk format), gzipped or raw:
+    magic [0, 0, dtype=0x08 (uint8), ndim], ndim big-endian uint32 dims,
+    then the data. Returns a uint8 ndarray."""
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        buf = f.read()
+    assert buf[0] == 0 and buf[1] == 0 and buf[2] == 0x08, f"bad idx magic in {path}"
+    ndim = buf[3]
+    dims = [int.from_bytes(buf[4 + 4 * i : 8 + 4 * i], "big") for i in range(ndim)]
+    data = np.frombuffer(buf, np.uint8, offset=4 + 4 * ndim)
+    return data.reshape(dims)
+
+
+def _find_idx(candidates):
+    for p in candidates:
+        for path in (p, p + ".gz"):
+            if os.path.exists(path):
+                return path
+    raise FileNotFoundError(candidates[0])
+
+
+def _mnist_native(dataset_name, train, data_root):
+    """mnist/fashion-mnist from raw IDX files — torchvision's own on-disk
+    layout (<root>/<name>/<TVClass>/raw/ or a flat raw/ dir), no torchvision
+    needed (it is absent on air-gapped TPU hosts)."""
+    tv_class = {"mnist": "MNIST", "fashion-mnist": "FashionMNIST"}[dataset_name]
+    prefix = "train" if train else "t10k"
+    dirs = [
+        os.path.join(data_root, dataset_name, tv_class, "raw"),
+        os.path.join(data_root, dataset_name, "raw"),
+        os.path.join(data_root, dataset_name),
+    ]
+    images = _idx_read(
+        _find_idx([os.path.join(d, f"{prefix}-images-idx3-ubyte") for d in dirs])
+    )[:, None]
+    labels = _idx_read(
+        _find_idx([os.path.join(d, f"{prefix}-labels-idx1-ubyte") for d in dirs])
+    )
+    return images, labels.astype(np.int64)
+
+
+def _cifar10_native(train, data_root):
+    """cifar10 from the python pickle batches (cifar-10-batches-py)."""
+    import pickle
+
+    base = os.path.join(data_root, "cifar10", "cifar-10-batches-py")
+    if not os.path.isdir(base):
+        base = os.path.join(data_root, "cifar10")
+    names = [f"data_batch_{i}" for i in range(1, 6)] if train else ["test_batch"]
+    xs, ys = [], []
+    for name in names:
+        with open(os.path.join(base, name), "rb") as f:
+            d = pickle.load(f, encoding="bytes")
+        xs.append(np.asarray(d[b"data"], np.uint8).reshape(-1, 3, 32, 32))
+        ys.append(np.asarray(d[b"labels"], np.int64))
+    return np.concatenate(xs), np.concatenate(ys)
+
+
+def _svhn_native(train, data_root):
+    """svhn from the cropped-digit .mat files (scipy, no torchvision)."""
+    from scipy.io import loadmat
+
+    split = "train" if train else "test"
+    mat = loadmat(os.path.join(data_root, "svhn", f"{split}_32x32.mat"))
+    images = np.transpose(mat["X"], (3, 2, 0, 1)).astype(np.uint8)
+    labels = mat["y"].astype(np.int64).squeeze()
+    labels[labels == 10] = 0  # torchvision semantics: '0' stored as 10
+    return images, labels
+
+
+_NATIVE_READERS = {
+    "mnist": lambda train, root: _mnist_native("mnist", train, root),
+    "fashion-mnist": lambda train, root: _mnist_native("fashion-mnist", train, root),
+    "cifar10": _cifar10_native,
+    "svhn": _svhn_native,
+}
+
+
 def _torchvision_raw(dataset_name, train, data_root):
     """uint8 (N, C, H, W) images + labels via torchvision local copies
     (reference image.py:73-155, download disabled for air-gap safety)."""
@@ -111,8 +192,14 @@ def get_image_datasets(dataset_name, data_root=None, make_valid_dset=True, synth
         test_images, test_labels = _synthetic_raw(dataset_name, False, seed)
     else:
         try:
-            train_images, train_labels = _torchvision_raw(dataset_name, True, root)
-            test_images, test_labels = _torchvision_raw(dataset_name, False, root)
+            if dataset_name in _NATIVE_READERS:
+                # torchvision-free readers (idx / pickle batches / .mat) over
+                # the same on-disk layouts torchvision uses
+                train_images, train_labels = _NATIVE_READERS[dataset_name](True, root)
+                test_images, test_labels = _NATIVE_READERS[dataset_name](False, root)
+            else:  # omniglot / celeba: image folders, need torchvision
+                train_images, train_labels = _torchvision_raw(dataset_name, True, root)
+                test_images, test_labels = _torchvision_raw(dataset_name, False, root)
         except Exception as e:  # torchvision raises RuntimeError when absent
             raise FileNotFoundError(
                 f"Local copy of `{dataset_name}' not found under `{root}'. "
