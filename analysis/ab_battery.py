@@ -65,9 +65,11 @@ PROTOCOL = {
     },
     "hemisphere-2-6": {"lr": 0.001, "latent_dimension": 6},
     # Synthetic-image arm: mnist non-square at d=10 on the in-container
-    # synthetic data. 2500 images / batch 50 = 50 steps/epoch; the warmup
-    # schedule is set absolutely (not run_one's proportional rescale) so the
-    # chart still gets 750 reconstruction-only steps before likelihood.
+    # synthetic data. 1500 images / batch 50 = 30 steps/epoch; the warmup
+    # schedule is absolute (15→30 of 45 epochs): 450 reconstruction-only
+    # steps, a 450-step ramp, then 15 epochs at full likelihood+metric
+    # weight. The exact path runs ~300 ms/step on the v5e (d=10 conv-decode
+    # column fan-out), so the arm is sized to ~8 min/run.
     "mnist": {
         # Exact Gram path: the g_ij loss NEEDS the full JᵀJ (this framework
         # asserts rather than reproducing the reference's accidental

@@ -387,7 +387,8 @@ def main(argv=None):
                     help="override max_epochs (default: config schedule)")
     ap.add_argument("--datasets", nargs="+",
                     default=["von-mises-circle", "sphere", "fuzzy-line",
-                             "fuzzy-line-in-r4", "sinusoid-1-3"])
+                             "fuzzy-line-in-r4", "sinusoid-1-3",
+                             "randomized-s2inr6-003"])
     ap.add_argument("--runs-dir", default="runs_battery")
     ap.add_argument("--out", default=None, help="markdown output path")
     ap.add_argument("--reaggregate", action="store_true",
