@@ -343,6 +343,29 @@ def test_fused_mlp_matches_mlp_apply(rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_coupler_stack_matches_resnet(rng, monkeypatch):
+    """Fused ResNet-coupler kernel (interpret mode on CPU) must reproduce
+    nets.core.ResNet.apply exactly at the image-chain geometries
+    (28×28 checkerboard and 14×14 post-squeeze, batchnorm-free)."""
+    monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
+    from cmf_tpu.nets import ResNet
+    from cmf_tpu.ops.pallas.coupler_stack import (
+        fused_coupler_available,
+        fused_resnet_coupler,
+    )
+
+    assert fused_coupler_available()
+    for c_in, c_out, hw, blocks, batch in ((1, 2, 28, 2, 6), (4, 8, 14, 3, 5)):
+        net = ResNet(c_in, [16] * blocks, c_out, use_batchnorm=False)
+        variables = net.init(jax.random.fold_in(rng, hw))
+        x = jax.random.normal(jax.random.fold_in(rng, hw + 1), (batch, c_in, hw, hw))
+        ref, _ = net.apply(variables, x, train=False)
+        got = fused_resnet_coupler(x, variables["params"], num_blocks=blocks,
+                                   interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
 def test_fused_gram_logdet_edge_shapes(rng):
     """d=1 (1-D latent visualizer path) and B>128 (multi-block grid with lane
     padding) must match the XLA path."""
