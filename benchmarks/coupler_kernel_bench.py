@@ -44,11 +44,18 @@ def bench(c_in, c_out, hw, blocks, hidden, batch, n_iters=50):
         out.block_until_ready()
         return (time.perf_counter() - t0) / n_iters * 1e3
 
-    xla_ms = scanned(lambda x: net.apply(variables, x, train=False)[0])
-    fused_ms = scanned(
-        lambda x: fused_resnet_coupler(x, variables["params"], num_blocks=blocks)
-    )
-    return xla_ms, fused_ms
+    results = {"xla_ms": scanned(lambda x: net.apply(variables, x, train=False)[0])}
+    for label, kw in (
+        ("fused_fp32", {}),
+        ("fused_bf16", {"bf16": True}),
+        ("fused_bf16_stacked", {"bf16": True, "stack_taps": True}),
+    ):
+        results[label + "_ms"] = scanned(
+            lambda x, kw=kw: fused_resnet_coupler(
+                x, variables["params"], num_blocks=blocks, **kw
+            )
+        )
+    return results
 
 
 def main():
@@ -58,10 +65,12 @@ def main():
         (2, 4, 14, 8, 64, 50),   # post-squeeze split-channel coupler
         (2, 4, 14, 8, 64, 500),  # d-column fan-out effective batch
     ):
-        xla_ms, fused_ms = bench(c_in, c_out, hw, blocks, hidden, batch)
+        r = bench(c_in, c_out, hw, blocks, hidden, batch)
         row = {"geometry": f"{c_in}->{c_out} @{hw}x{hw} b{batch} {blocks}blk{hidden}ch",
-               "xla_ms": round(xla_ms, 3), "fused_ms": round(fused_ms, 3),
-               "speedup": round(xla_ms / fused_ms, 2)}
+               **{k: round(v, 3) for k, v in r.items()}}
+        row["best_speedup"] = round(
+            r["xla_ms"] / min(v for k, v in r.items() if k != "xla_ms"), 2
+        )
         rows.append(row)
         print(json.dumps(row), flush=True)
     return rows

@@ -116,8 +116,8 @@ def main():
     results["logdet_evals_per_s"] = bench_logdet(config, density, variables)
     results["sampling_samples_per_s"] = bench_sampling(config, density, variables)
 
-    # Fused-MLP coupler kernel on the no-gradient sampling path: fresh jit
-    # closure per cell (the context flag is read at trace time).
+    # Fused kernels on the no-gradient sampling path: fresh jit closure per
+    # cell (the context flag is read at trace time).
     from cmf_tpu.nets import fused_inference
     from cmf_tpu.ops.pallas.fused_mlp import fused_mlp_available
 
@@ -125,6 +125,24 @@ def main():
         with fused_inference():
             results["sampling_samples_per_s_fused_mlp"] = bench_sampling(
                 config, density, variables
+            )
+
+    # Image-chain sampling (the FID-generation decode): XLA vs the fused
+    # ResNet-coupler kernel.
+    import __graft_entry__ as ge
+
+    img_cfg, img_density, img_vars = ge._build_image(
+        {"g_hidden_channels": [64] * 4, "latent_dimension": 10}
+    )
+    results["image_sampling_samples_per_s"] = bench_sampling(
+        img_cfg, img_density, img_vars, n_samples=5000, batch=250
+    )
+    from cmf_tpu.ops.pallas.coupler_stack import fused_coupler_available
+
+    if fused_coupler_available():
+        with fused_inference():
+            results["image_sampling_samples_per_s_fused_coupler"] = bench_sampling(
+                img_cfg, img_density, img_vars, n_samples=5000, batch=250
             )
 
     with compute_dtype("bfloat16"):

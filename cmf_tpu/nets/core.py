@@ -294,6 +294,24 @@ class ResNet:
 
     def apply(self, variables, x, train=False):
         p, s = variables["params"], variables["state"]
+        if (
+            _FUSED_INFERENCE[0]
+            and not train
+            and not self.use_batchnorm
+            and len(set(self.hidden)) == 1
+            and self.c_hidden <= 128
+        ):
+            from ..ops.pallas.coupler_stack import (
+                fused_coupler_available,
+                fused_resnet_coupler,
+            )
+
+            if fused_coupler_available():
+                out = fused_resnet_coupler(
+                    x, p, num_blocks=len(self.blocks),
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+                return out, s
         new_state = dict(s)
         out = _conv2d(x, p["conv_in"]["w"])
         new_blocks = []

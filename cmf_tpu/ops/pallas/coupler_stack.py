@@ -73,38 +73,60 @@ def _tap_masks(h_img, w_img, p_pad):
     return masks
 
 
-def _conv3x3(h, w_ref, b, masks_ref, w_img):
-    """h: (I, L) → (O, L) via the shift-matmul decomposition."""
-    acc = None
+def _conv3x3(h, w_ref, b, masks_ref, w_img, bf16, stack_taps):
+    """h: (I, L) → (O, L) via the shift-matmul decomposition.
+
+    bf16: cast matmul operands to bfloat16 (fp32 accumulation) — the same
+    arithmetic XLA's BFloat16Propagation pass applies to these convs.
+    stack_taps: concatenate the 9 shifted maps into one (9I, L) operand so
+    the MXU sees K=9·I instead of nine K=I passes (im2col-in-VMEM)."""
+    cast = (lambda a: a.astype(jnp.bfloat16)) if bf16 else (lambda a: a)
+
+    shifted = []
     for k, (dy, dx) in enumerate(_taps(w_img)):
         offset = dy * w_img + dx
         # pltpu.roll takes non-negative shifts; negate modulo the lane length
         rolled = pltpu.roll(h, (-offset) % h.shape[1], axis=1) if offset else h
-        rolled = rolled * masks_ref[k][None, :]
-        term = jax.lax.dot_general(
-            w_ref[dy + 1, dx + 1], rolled,
-            (((1,), (0,)), ((), ())),
+        shifted.append(cast(rolled * masks_ref[k][None, :]))
+
+    if stack_taps:
+        stacked = jnp.concatenate(shifted, axis=0)  # (9I, L)
+        w_stacked = jnp.concatenate(
+            [cast(w_ref[dy + 1, dx + 1]) for dy, dx in
+             ((d // 3 - 1, d % 3 - 1) for d in range(9))],
+            axis=1,
+        )  # (O, 9I)
+        acc = jax.lax.dot_general(
+            w_stacked, stacked, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        acc = term if acc is None else acc + term
+    else:
+        acc = None
+        for k, (dy, dx) in enumerate(_taps(w_img)):
+            term = jax.lax.dot_general(
+                cast(w_ref[dy + 1, dx + 1]), shifted[k],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = term if acc is None else acc + term
     if b is not None:
         acc = acc + b
     return acc
 
 
-def _kernel(x_ref, masks_ref, *refs, w_img, num_blocks):
+def _kernel(x_ref, masks_ref, *refs, w_img, num_blocks, bf16, stack_taps):
     # refs: w_in, [w1, b1, w2, b2] * num_blocks, w_out, b_out, head_w,
     #       head_b, out_ref
     out_ref = refs[-1]
     w_in = refs[0]
     tile = masks_ref[...]  # (9, L) — already tiled over the batch chunk
-    h = _conv3x3(x_ref[...], w_in, None, tile, w_img)
+    h = _conv3x3(x_ref[...], w_in, None, tile, w_img, bf16, stack_taps)
     idx = 1
     for _ in range(num_blocks):
         w1, b1, w2, b2 = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
         idx += 4
-        t = _conv3x3(jnp.maximum(h, 0.0), w1, b1[...], tile, w_img)
-        t = _conv3x3(jnp.maximum(t, 0.0), w2, b2[...], tile, w_img)
+        t = _conv3x3(jnp.maximum(h, 0.0), w1, b1[...], tile, w_img, bf16, stack_taps)
+        t = _conv3x3(jnp.maximum(t, 0.0), w2, b2[...], tile, w_img, bf16, stack_taps)
         h = h + t
     w_out, b_out, head_w, head_b = refs[idx], refs[idx + 1], refs[idx + 2], refs[idx + 3]
     y = jax.lax.dot_general(
@@ -135,9 +157,10 @@ def _pack_weights(params, num_blocks):
 
 
 @functools.partial(jax.jit, static_argnames=("h_img", "w_img", "num_blocks",
-                                             "batch_chunk", "interpret"))
+                                             "batch_chunk", "interpret",
+                                             "bf16", "stack_taps"))
 def _call(x_packed, masks_tiled, weight_ops, h_img, w_img, num_blocks,
-          batch_chunk, interpret):
+          batch_chunk, interpret, bf16=False, stack_taps=False):
     c_in, total = x_packed.shape
     p_pad = _round_up(h_img * w_img, _LANES)
     l_block = batch_chunk * p_pad
@@ -154,7 +177,8 @@ def _call(x_packed, masks_tiled, weight_ops, h_img, w_img, num_blocks,
                          memory_space=pltpu.VMEM)
         )
     return pl.pallas_call(
-        functools.partial(_kernel, w_img=w_img, num_blocks=num_blocks),
+        functools.partial(_kernel, w_img=w_img, num_blocks=num_blocks,
+                          bf16=bf16, stack_taps=stack_taps),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((c_out, l_block), lambda i: (0, i),
@@ -164,18 +188,21 @@ def _call(x_packed, masks_tiled, weight_ops, h_img, w_img, num_blocks,
     )(x_packed, masks_tiled, *weight_ops)
 
 
-def fused_resnet_coupler(x, params, num_blocks, batch_chunk=None, interpret=None):
+def fused_resnet_coupler(x, params, num_blocks, batch_chunk=None, interpret=None,
+                         bf16=False, stack_taps=False):
     """x: (B, C_in, H, W) fp32; params: nets.core.ResNet param pytree with
     use_batchnorm=False. Returns the coupler output (B, c_out, H, W) —
-    identical semantics to ResNet.apply (train-independent: no batchnorm)."""
+    identical semantics to ResNet.apply (train-independent: no batchnorm).
+    bf16/stack_taps select the matmul arithmetic (see _conv3x3)."""
     if interpret is None:
         interpret = _env_interpret() or jax.devices()[0].platform != "tpu"
     b, c_in, h_img, w_img = x.shape
     p = h_img * w_img
     p_pad = _round_up(p, _LANES)
     if batch_chunk is None:
-        # target ≤ ~2 MB per (64, L) buffer
-        batch_chunk = max(1, min(b, (2 << 20) // (64 * 4 * p_pad)))
+        # target ≤ ~0.75 MB per (64, L) buffer: the unrolled 9-tap conv keeps
+        # several temporaries live, and the scoped-VMEM stack limit is 16 MB
+        batch_chunk = max(1, min(b, (768 << 10) // (64 * 4 * p_pad)))
         while b % batch_chunk:
             batch_chunk -= 1
 
@@ -188,7 +215,8 @@ def fused_resnet_coupler(x, params, num_blocks, batch_chunk=None, interpret=None
     masks_tiled = jnp.tile(masks, (1, batch_chunk))
     weight_ops = _pack_weights(params, num_blocks)
     out = _call(x_packed, masks_tiled, tuple(weight_ops), h_img, w_img,
-                num_blocks, batch_chunk, bool(interpret))
+                num_blocks, batch_chunk, bool(interpret), bool(bf16),
+                bool(stack_taps))
     c_out = out.shape[0]
     out = out.reshape(c_out, b, p_pad)[:, :, :p]
     return jnp.transpose(out, (1, 0, 2)).reshape(b, c_out, h_img, w_img)

@@ -343,6 +343,23 @@ def test_fused_mlp_matches_mlp_apply(rng, monkeypatch):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_fused_inference_image_sampling_parity(rng, monkeypatch):
+    """Under fused_inference(), the multiscale image chain's ResNet couplers
+    route through the fused coupler-stack kernel on the sampling path; the
+    samples must match the XLA path."""
+    monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
+    import __graft_entry__ as ge
+
+    from cmf_tpu.nets import fused_inference
+
+    _, density, dvars = ge._build_image()
+    ref_s = density.sample(dvars, jax.random.PRNGKey(5), 8)
+    with fused_inference():
+        fused_s = density.sample(dvars, jax.random.PRNGKey(5), 8)
+    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(ref_s),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fused_coupler_stack_matches_resnet(rng, monkeypatch):
     """Fused ResNet-coupler kernel (interpret mode on CPU) must reproduce
     nets.core.ResNet.apply exactly at the image-chain geometries
@@ -360,10 +377,13 @@ def test_fused_coupler_stack_matches_resnet(rng, monkeypatch):
         variables = net.init(jax.random.fold_in(rng, hw))
         x = jax.random.normal(jax.random.fold_in(rng, hw + 1), (batch, c_in, hw, hw))
         ref, _ = net.apply(variables, x, train=False)
-        got = fused_resnet_coupler(x, variables["params"], num_blocks=blocks,
-                                   interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-5, atol=2e-5)
+        for kw, tol in ({}, 2e-5), ({"stack_taps": True}, 2e-5), \
+                       ({"bf16": True}, 3e-2), \
+                       ({"bf16": True, "stack_taps": True}, 3e-2):
+            got = fused_resnet_coupler(x, variables["params"], num_blocks=blocks,
+                                       interpret=True, **kw)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=tol, atol=tol, err_msg=str(kw))
 
 
 def test_fused_gram_logdet_edge_shapes(rng):
