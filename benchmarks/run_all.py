@@ -119,13 +119,6 @@ def main():
     # Fused kernels on the no-gradient sampling path: fresh jit closure per
     # cell (the context flag is read at trace time).
     from cmf_tpu.nets import fused_inference
-    from cmf_tpu.ops.pallas.fused_mlp import fused_mlp_available
-
-    if fused_mlp_available():
-        with fused_inference():
-            results["sampling_samples_per_s_fused_mlp"] = bench_sampling(
-                config, density, variables
-            )
 
     # Image-chain sampling (the FID-generation decode): XLA vs the fused
     # ResNet-coupler kernel.

@@ -161,20 +161,12 @@ class MLP:
         return {"params": {"layers": layers}, "state": {}}
 
     def apply(self, variables, x, train=False):
+        # (A fused-MLP Pallas kernel was trialled here behind
+        # fused_inference(); the measured sampling A/B on v5e was neutral
+        # (+1.3%) — XLA already pipelines these small dense chains — so the
+        # kernel was removed. The context now serves the image ResNet
+        # couplers, where the fused kernel measures 1.5-1.7×.)
         layers = variables["params"]["layers"]
-        if _FUSED_INFERENCE[0] and not train:
-            name = {jnp.tanh: "tanh", jax.nn.relu: "relu"}.get(self.activation)
-            from ..ops.pallas.fused_mlp import fused_mlp, fused_mlp_available
-
-            if name is not None and fused_mlp_available():
-                out = fused_mlp(
-                    x,
-                    tuple(p["w"] for p in layers),
-                    tuple(p["b"] for p in layers),
-                    activation_name=name,
-                    interpret=jax.devices()[0].platform != "tpu",
-                )
-                return out, variables["state"]
         for i, p in enumerate(layers):
             x = _matmul(x, p["w"]) + p["b"]
             if i < len(layers) - 1:

@@ -1,4 +1,4 @@
-from .fused_mlp import fused_mlp, fused_mlp_available
+from .coupler_stack import fused_coupler_available, fused_resnet_coupler
 from .gram_logdet import (
     fused_gram_logdet,
     fused_gram_logdet_available,
@@ -7,8 +7,8 @@ from .gram_logdet import (
 )
 
 __all__ = [
-    "fused_mlp",
-    "fused_mlp_available",
+    "fused_coupler_available",
+    "fused_resnet_coupler",
     "fused_gram_logdet",
     "fused_gram_logdet_available",
     "fused_gram_logdet_sharded",

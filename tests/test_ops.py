@@ -309,38 +309,20 @@ def test_fused_gram_logdet_sharded_matches_unsharded(rng, monkeypatch):
     assert not fused_gram_logdet_sharded_available(d, 25, D, sharding)  # B % 4
 
 
-def test_fused_mlp_matches_mlp_apply(rng, monkeypatch):
-    """The fused-MLP inference kernel (interpret mode on CPU) must reproduce
-    nets.core.MLP.apply exactly, both called directly and routed through the
-    `fused_inference()` context on a full non-square density's sampling path."""
+def test_fused_inference_flat_sampling_unchanged(rng, monkeypatch):
+    """fused_inference() must be a no-op for flat (MLP-coupler) chains — the
+    trialled fused-MLP kernel was removed after a measured-neutral sampling
+    A/B on v5e (+1.3%); the context now only reroutes image ResNet couplers."""
     monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
-    from cmf_tpu.nets import MLP, fused_inference
-    from cmf_tpu.ops.pallas.fused_mlp import fused_mlp
-
-    mlp = MLP(22, [64, 64], 44, jnp.tanh)
-    variables = mlp.init(rng)
-    x = jax.random.normal(jax.random.fold_in(rng, 1), (37, 22))
-    ref, _ = mlp.apply(variables, x)
-    ws = [p["w"] for p in variables["params"]["layers"]]
-    bs = [p["b"] for p in variables["params"]["layers"]]
-    got = fused_mlp(x, tuple(ws), tuple(bs), activation_name="tanh",
-                    interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
-
-    with fused_inference():
-        routed, _ = mlp.apply(variables, x)
-    np.testing.assert_allclose(np.asarray(routed), np.asarray(ref), rtol=1e-5, atol=1e-5)
-
-    # End-to-end: sampling a flat non-square chain under the context matches
-    # the XLA path (the no-gradient FID-generation route).
     import __graft_entry__ as ge
+
+    from cmf_tpu.nets import fused_inference
 
     _, density, dvars = ge._build()
     ref_s = density.sample(dvars, jax.random.PRNGKey(3), 16)
     with fused_inference():
         fused_s = density.sample(dvars, jax.random.PRNGKey(3), 16)
-    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(ref_s),
-                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(fused_s), np.asarray(ref_s))
 
 
 def test_fused_inference_image_sampling_parity(rng, monkeypatch):
