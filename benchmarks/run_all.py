@@ -116,12 +116,11 @@ def main():
     results["logdet_evals_per_s"] = bench_logdet(config, density, variables)
     results["sampling_samples_per_s"] = bench_sampling(config, density, variables)
 
-    # Fused kernels on the no-gradient sampling path: fresh jit closure per
-    # cell (the context flag is read at trace time).
-    from cmf_tpu.nets import fused_inference
-
-    # Image-chain sampling (the FID-generation decode): XLA vs the fused
-    # ResNet-coupler kernel.
+    # Image-chain sampling (the FID-generation decode). Fused-kernel cells
+    # were measured here in round 4 and REMOVED: fused-MLP 280.2k vs 276.4k
+    # samples/s (+1.3%, noise) on the flat chain; the fused ResNet coupler
+    # 47.9k vs 147.7k (3× SLOWER) at this batch-250 geometry — see
+    # benchmarks/coupler_kernel_bench.py for the geometry-resolved A/B.
     import __graft_entry__ as ge
 
     img_cfg, img_density, img_vars = ge._build_image(
@@ -130,13 +129,6 @@ def main():
     results["image_sampling_samples_per_s"] = bench_sampling(
         img_cfg, img_density, img_vars, n_samples=5000, batch=250
     )
-    from cmf_tpu.ops.pallas.coupler_stack import fused_coupler_available
-
-    if fused_coupler_available():
-        with fused_inference():
-            results["image_sampling_samples_per_s_fused_coupler"] = bench_sampling(
-                img_cfg, img_density, img_vars, n_samples=5000, batch=250
-            )
 
     with compute_dtype("bfloat16"):
         config2, density2, variables2 = build()

@@ -1,6 +1,5 @@
 from .core import (
     compute_dtype,
-    fused_inference,
     set_compute_dtype,
     MLP,
     ConstantNetwork,
@@ -13,7 +12,6 @@ from .core import (
 
 __all__ = [
     "compute_dtype",
-    "fused_inference",
     "set_compute_dtype",
     "MLP",
     "ConstantNetwork",

@@ -40,22 +40,11 @@ def compute_dtype(dtype):
         _COMPUTE_DTYPE[0] = old
 
 
-# Trace-time flag (like _COMPUTE_DTYPE): inside `fused_inference()`, MLP
-# couplers route through the Pallas fused-MLP kernel — whole dense chain in
-# one pallas_call, weights + intermediates resident in VMEM. Forward-only
-# (the kernel has no VJP rule), so it is opt-in on no-gradient paths:
-# sampling / FID generation (eval/fid.py sample_batches).
-_FUSED_INFERENCE = [False]
-
-
-@contextlib.contextmanager
-def fused_inference(enable=True):
-    old = _FUSED_INFERENCE[0]
-    _FUSED_INFERENCE[0] = bool(enable)
-    try:
-        yield
-    finally:
-        _FUSED_INFERENCE[0] = old
+# (A `fused_inference()` trace-time context once routed couplers through
+# Pallas inference kernels here; both round-4 candidates were removed after
+# measured A/Bs on the v5e — fused-MLP +1.3% noise, fused ResNet coupler 3×
+# slower at the batch sizes the no-grad paths actually use — and the
+# context went with them. See ROADMAP "Image-path verdict".)
 
 
 def _matmul(x, w):
@@ -161,11 +150,6 @@ class MLP:
         return {"params": {"layers": layers}, "state": {}}
 
     def apply(self, variables, x, train=False):
-        # (A fused-MLP Pallas kernel was trialled here behind
-        # fused_inference(); the measured sampling A/B on v5e was neutral
-        # (+1.3%) — XLA already pipelines these small dense chains — so the
-        # kernel was removed. The context now serves the image ResNet
-        # couplers, where the fused kernel measures 1.5-1.7×.)
         layers = variables["params"]["layers"]
         for i, p in enumerate(layers):
             x = _matmul(x, p["w"]) + p["b"]
@@ -285,25 +269,13 @@ class ResNet:
         return {"params": params, "state": state}
 
     def apply(self, variables, x, train=False):
+        # (Routing these couplers through the fused coupler-stack kernel was
+        # trialled: it wins 1.5-1.7× only at standalone-forward batch≈50;
+        # the actual no-grad consumers — FID/sampling at batch 250-500 —
+        # measured 3× SLOWER on v5e (benchmarks/coupler_kernel_bench.py).
+        # The kernel remains as committed decision evidence for the image
+        # megakernel verdict, see ROADMAP.)
         p, s = variables["params"], variables["state"]
-        if (
-            _FUSED_INFERENCE[0]
-            and not train
-            and not self.use_batchnorm
-            and len(set(self.hidden)) == 1
-            and self.c_hidden <= 128
-        ):
-            from ..ops.pallas.coupler_stack import (
-                fused_coupler_available,
-                fused_resnet_coupler,
-            )
-
-            if fused_coupler_available():
-                out = fused_resnet_coupler(
-                    x, p, num_blocks=len(self.blocks),
-                    interpret=jax.devices()[0].platform != "tpu",
-                )
-                return out, s
         new_state = dict(s)
         out = _conv2d(x, p["conv_in"]["w"])
         new_blocks = []

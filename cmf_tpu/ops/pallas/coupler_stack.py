@@ -17,8 +17,15 @@ final relu → 1×1 conv → scaled-tanh head — in one ``pallas_call``:
     VMEM across the 17 layers;
   * the MXU sees back-to-back (64×64)·(64, L) matmuls with L = chunk lanes.
 
-Forward-only (no VJP rule): usable on no-gradient paths and as the
-measurement vehicle for the round-3 verdict's image megakernel decision.
+Forward-only (no VJP rule). STATUS (round 4): this kernel is committed
+DECISION EVIDENCE for the image-megakernel verdict, not a production path.
+Measured on v5e (benchmarks/coupler_kernel_bench.py): 1.67×/1.47× over a
+standalone XLA coupler forward at batch 50 (28×28/14×14), but 0.61× at the
+batch-500 fan-out geometry and 3× slower on the real FID-generation
+sampling path (batch 250) — and the training step cannot use it without a
+full second-order AD kernel family (see ROADMAP "Image-path verdict", with
+PROFILE_image_r4.json showing the step is 94% conv arithmetic already at
+~39 TFLOP/s effective bf16 under XLA).
 Parity: tests/test_ops.py::test_fused_coupler_stack_matches_resnet.
 """
 

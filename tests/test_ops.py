@@ -309,39 +309,6 @@ def test_fused_gram_logdet_sharded_matches_unsharded(rng, monkeypatch):
     assert not fused_gram_logdet_sharded_available(d, 25, D, sharding)  # B % 4
 
 
-def test_fused_inference_flat_sampling_unchanged(rng, monkeypatch):
-    """fused_inference() must be a no-op for flat (MLP-coupler) chains — the
-    trialled fused-MLP kernel was removed after a measured-neutral sampling
-    A/B on v5e (+1.3%); the context now only reroutes image ResNet couplers."""
-    monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
-    import __graft_entry__ as ge
-
-    from cmf_tpu.nets import fused_inference
-
-    _, density, dvars = ge._build()
-    ref_s = density.sample(dvars, jax.random.PRNGKey(3), 16)
-    with fused_inference():
-        fused_s = density.sample(dvars, jax.random.PRNGKey(3), 16)
-    np.testing.assert_array_equal(np.asarray(fused_s), np.asarray(ref_s))
-
-
-def test_fused_inference_image_sampling_parity(rng, monkeypatch):
-    """Under fused_inference(), the multiscale image chain's ResNet couplers
-    route through the fused coupler-stack kernel on the sampling path; the
-    samples must match the XLA path."""
-    monkeypatch.setenv("CMF_TPU_PALLAS_INTERPRET", "1")
-    import __graft_entry__ as ge
-
-    from cmf_tpu.nets import fused_inference
-
-    _, density, dvars = ge._build_image()
-    ref_s = density.sample(dvars, jax.random.PRNGKey(5), 8)
-    with fused_inference():
-        fused_s = density.sample(dvars, jax.random.PRNGKey(5), 8)
-    np.testing.assert_allclose(np.asarray(fused_s), np.asarray(ref_s),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_fused_coupler_stack_matches_resnet(rng, monkeypatch):
     """Fused ResNet-coupler kernel (interpret mode on CPU) must reproduce
     nets.core.ResNet.apply exactly at the image-chain geometries
