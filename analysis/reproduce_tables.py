@@ -225,7 +225,9 @@ def render(rows, args):
     for dataset in args.image_datasets:
         for arm in ("RNF", "CMF"):
             runs = rows.get((dataset, arm), [])
-            fid_m, fid_s, n = _mean_stderr([r.get("fid") for r in runs if "fid" in r])
+            fid_m, fid_s, n = _mean_stderr(
+                [r["fid"] for r in runs if r.get("fid") is not None]
+            )
             macs_m, macs_s, _ = _mean_stderr(
                 [r.get("canonical_macs") for r in runs if "canonical_macs" in r]
             )

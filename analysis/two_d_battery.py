@@ -314,11 +314,10 @@ def run_one(dataset, seed, epochs, runs_dir):
         loaded = load_run(run_dir)
         if dataset == "von-mises-circle":
             results["pullback_kl"] = von_mises_circle_kl(loaded["density"], loaded["variables"])
-            results["sample_angle_kl"] = von_mises_sample_kl(loaded["density"], loaded["variables"])
+            # seam analysis includes sample_angle_kl (same 50k draw, same
+            # seed as von_mises_sample_kl) — one sampling pass, one merge
             results.update(
-                {f"seam_{k}" if not k.startswith("sample") else k: v
-                 for k, v in von_mises_seam_analysis(
-                     loaded["density"], loaded["variables"]).items()}
+                von_mises_seam_analysis(loaded["density"], loaded["variables"])
             )
         for name, fn in ORACLES.get(dataset, {}).items():
             results[name] = fn(loaded["density"], loaded["variables"])
@@ -365,8 +364,10 @@ def reaggregate(runs_dir, datasets):
                     results["pullback_kl"] = von_mises_circle_kl(
                         loaded["density"], loaded["variables"]
                     )
-                    results["sample_angle_kl"] = von_mises_sample_kl(
-                        loaded["density"], loaded["variables"]
+                    results.update(
+                        von_mises_seam_analysis(
+                            loaded["density"], loaded["variables"]
+                        )
                     )
                 for name, fn in ORACLES.get(dataset, {}).items():
                     results[name] = fn(loaded["density"], loaded["variables"])

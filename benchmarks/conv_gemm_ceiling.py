@@ -23,20 +23,24 @@ import jax
 import jax.numpy as jnp
 
 
-def timed(fn, *args, iters=100):
+def timed(fn, x, *rest, iters=100):
+    """Scan-timed with the output folded back into fn's FIRST operand — a
+    loop-carried dependency, so XLA cannot hoist the op out of the while
+    body (it does for dependency-free bodies: ~100× fake speedup)."""
+
     @jax.jit
-    def run(*a):
-        def body(carry, _):
-            out = fn(*a)
-            # fold a scalar back in so the scan can't hoist the body
-            return carry + 1e-20 * jnp.sum(out).astype(jnp.float32), None
+    def run(x0, *r):
+        def body(x_cur, _):
+            out = fn(x_cur, *r)
+            x_next = x0 + (1e-20 * jnp.sum(out)).astype(x0.dtype)
+            return x_next, None
 
-        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
-        return c
+        x_last, _ = jax.lax.scan(body, x0, None, length=iters)
+        return x_last
 
-    run(*args).block_until_ready()
+    run(x, *rest).block_until_ready()
     t0 = time.perf_counter()
-    run(*args).block_until_ready()
+    run(x, *rest).block_until_ready()
     return (time.perf_counter() - t0) / iters
 
 

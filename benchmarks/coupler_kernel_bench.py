@@ -62,6 +62,7 @@ def main():
     rows = []
     for c_in, c_out, hw, blocks, hidden, batch in (
         (1, 2, 28, 8, 64, 50),   # mnist scale-1 checkerboard coupler
+        (1, 2, 28, 8, 64, 250),  # same at the FID-generation batch
         (2, 4, 14, 8, 64, 50),   # post-squeeze split-channel coupler
         (2, 4, 14, 8, 64, 500),  # d-column fan-out effective batch
     ):

@@ -65,8 +65,10 @@ def build_step(batch, latent):
     return train_steps, variables, opt_state
 
 
-def hlo_breakdown(trace_dir):
-    """Aggregate device self-time by HLO op from the captured xplane."""
+def hlo_breakdown(trace_dir, top=25):
+    """Aggregate device self-time by HLO category from the captured xplane
+    (xprof hlo_stats: Google-Charts JSON, cols include category /
+    total_self_time / bound_by / model_flop_rate)."""
     from xprof.convert import raw_to_tool_data
 
     paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
@@ -75,8 +77,41 @@ def hlo_breakdown(trace_dir):
     data, _ = raw_to_tool_data.xspace_to_tool_data([paths[-1]], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode("utf-8", "replace")
-    rows = json.loads(data)
-    return rows
+    d = json.loads(data)
+    cols = [c["id"] for c in d["cols"]]
+    idx = {c: i for i, c in enumerate(cols)}
+    ops = []
+    for row in d.get("rows", []):
+        v = [c.get("v") for c in row["c"]]
+        ops.append(
+            {
+                "category": v[idx["category"]],
+                "op": v[idx["hlo_op_name"]],
+                "expr": (v[idx["hlo_op_expression"]] or "")[:120],
+                "occurrences": v[idx["occurrences"]],
+                "self_time_us": v[idx["total_self_time"]],
+                "self_pct": v[idx["total_self_time_percent"]],
+                "flop_rate": v[idx["model_flop_rate"]],
+                "bound_by": v[idx["bound_by"]],
+            }
+        )
+    by_cat = {}
+    for o in ops:
+        c = by_cat.setdefault(o["category"], {"self_time_us": 0.0, "n": 0})
+        c["self_time_us"] += float(o["self_time_us"] or 0)
+        c["n"] += int(o["occurrences"] or 0)
+    cats = sorted(by_cat.items(), key=lambda kv: -kv[1]["self_time_us"])
+    total = sum(c["self_time_us"] for _, c in cats) or 1.0
+    print("\n=== self-time by HLO category ===")
+    for name, c in cats:
+        print(f"{name:30s} {c['self_time_us']/1e3:9.2f} ms "
+              f"({100*c['self_time_us']/total:5.1f}%)  ops={c['n']}")
+    ops.sort(key=lambda o: -float(o["self_time_us"] or 0))
+    print(f"\n=== top {top} ops by self-time ===")
+    for o in ops[:top]:
+        print(f"{float(o['self_time_us'] or 0)/1e3:8.2f} ms  {o['category']:16s} "
+              f"x{o['occurrences']:>4} {str(o['bound_by']):12s} {o['op']}")
+    return {"by_category": dict(cats), "top_ops": ops[: top * 2]}
 
 
 def main(argv=None):
@@ -117,13 +152,14 @@ def main(argv=None):
         )
         jax.block_until_ready(losses)
 
-    rows = hlo_breakdown(args.trace_dir)
-    print(json.dumps({"ms_per_step": round(ms_per_step, 2),
-                      "n_rows": len(rows) if hasattr(rows, "__len__") else -1}))
+    summary = hlo_breakdown(args.trace_dir)
+    summary["ms_per_step"] = round(ms_per_step, 3)
+    summary["batch"] = args.batch
+    summary["latent"] = args.latent
     if args.out:
         with open(args.out, "w") as f:
-            json.dump({"ms_per_step": ms_per_step, "hlo_stats": rows}, f)
-    return rows, ms_per_step
+            json.dump(summary, f, indent=2)
+    return summary
 
 
 if __name__ == "__main__":

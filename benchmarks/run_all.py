@@ -116,15 +116,17 @@ def main():
     results["logdet_evals_per_s"] = bench_logdet(config, density, variables)
     results["sampling_samples_per_s"] = bench_sampling(config, density, variables)
 
-    # Image-chain sampling (the FID-generation decode). Fused-kernel cells
-    # were measured here in round 4 and REMOVED: fused-MLP 280.2k vs 276.4k
-    # samples/s (+1.3%, noise) on the flat chain; the fused ResNet coupler
-    # 47.9k vs 147.7k (3× SLOWER) at this batch-250 geometry — see
+    # Image-chain sampling (the FID-generation decode) at the REAL mnist
+    # geometry (28×28 — an earlier cell here accidentally measured the toy
+    # 8×8 graft geometry). Fused-kernel cells were measured in round 4 and
+    # removed: fused-MLP 280.2k vs 276.4k samples/s (+1.3%, noise) on the
+    # flat chain; the fused ResNet coupler loses at FID batch sizes — see
     # benchmarks/coupler_kernel_bench.py for the geometry-resolved A/B.
     import __graft_entry__ as ge
 
     img_cfg, img_density, img_vars = ge._build_image(
-        {"g_hidden_channels": [64] * 4, "latent_dimension": 10}
+        {"g_hidden_channels": [64] * 4, "latent_dimension": 10},
+        x_shape=(1, 28, 28),
     )
     results["image_sampling_samples_per_s"] = bench_sampling(
         img_cfg, img_density, img_vars, n_samples=5000, batch=250

@@ -96,9 +96,17 @@ def canonical_metric_summary(density, variables, x, max_points=256,
     """
     x = jnp.asarray(x)[:max_points]
     z = density.extract_latent(variables, x)
-    macs_value, _ = macs(density, variables, z)
+    # ONE decoder linearization serves both MACS and g = JᵀJ (the d-column
+    # fan-out is the expensive part — a full conv decode per column).
+    J = decoder_jacobian(density, variables, z)  # (B, D, d)
+    norms = jnp.linalg.norm(J, axis=1, keepdims=True)
+    Jn = J / (norms + 1e-12)
+    cos = jnp.einsum("bDi,bDj->bij", Jn, Jn)
+    d_lat = cos.shape[-1]
+    off = jnp.abs(cos) * (1 - jnp.eye(d_lat))
+    macs_value = float(jnp.mean(jnp.sum(off, axis=(1, 2)) / (d_lat * (d_lat - 1))))
 
-    g = metric_tensor(density, variables, z)
+    g = jnp.einsum("bDi,bDj->bij", J, J, precision=jax.lax.Precision.HIGHEST)
     diag = jnp.abs(jnp.diagonal(g, axis1=-2, axis2=-1))  # (B, d)
     row_abs = jnp.sum(jnp.abs(g), axis=-1)  # (B, d)
     diag_dominance = float(jnp.mean(diag / (row_abs + 1e-12)))
