@@ -35,26 +35,46 @@ def _worker_env():
     return env
 
 
+# Gloo's TCP rendezvous between the two workers can time out when the host is
+# saturated (e.g. the 4-way xdist run plus both workers compiling at once) —
+# an infra failure, not a product one. Retry once with a fresh port on those
+# signatures only; assertion failures and product crashes are never retried.
+_INFRA_PATTERNS = ("Gloo", "Connect timeout", "connect timed out", "barrier timed out")
+
+
+def _run_worker_pair(worker, extra_args=(), retries=1):
+    """Launch the 2-process worker pair; return {process_index: result_dict}."""
+    last_err = None
+    for _ in range(retries + 1):
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port), *extra_args],
+                env=_worker_env(),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600) for p in procs]
+        fails = [err for p, (_, err) in zip(procs, outs) if p.returncode != 0]
+        if not fails:
+            results = {}
+            for out, _ in outs:
+                line = [l for l in out.splitlines() if l.startswith("{")][-1]
+                rec = json.loads(line)
+                results[rec["process"]] = rec
+            return results
+        last_err = fails[0]
+        if not any(pat in err for err in fails for pat in _INFRA_PATTERNS):
+            break  # real failure — surface immediately
+    raise AssertionError(f"worker failed:\n{last_err[-3000:]}")
+
+
 def test_two_process_mesh_matches_single_process():
-    port = _free_port()
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_multihost_worker.py")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port)],
-            env=_worker_env(),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    results = {}
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        rec = json.loads(line)
-        results[rec["process"]] = rec
+    results = _run_worker_pair(worker)
 
     assert results[0]["global_devices"] == 8
     # Cross-process agreement: the all-reduced loss/grad must be bitwise-close.
@@ -113,28 +133,11 @@ def test_checkpoint_restores_across_process_topologies(tmp_path):
        epoch counters all survive the topology change; a dropped Adam state
        or reset RNG shows up far outside the float-accumulation tolerance).
     """
-    port = _free_port()
     worker = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "_crosstopo_worker.py"
     )
     run_root = str(tmp_path / "runs")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), run_root],
-            env=_worker_env(),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE,
-            text=True,
-        )
-        for i in range(2)
-    ]
-    results = {}
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
-        line = [l for l in out.splitlines() if l.startswith("{")][-1]
-        rec = json.loads(line)
-        results[rec["process"]] = rec
+    results = _run_worker_pair(worker, extra_args=(run_root,))
     run_dir = results[0]["run_dir"]
     assert run_dir and os.path.exists(os.path.join(run_dir, "config.json"))
     np.testing.assert_allclose(
