@@ -39,20 +39,40 @@ def activation_statistics(batches_iter, feature_fn=None):
     return np.asarray(mu), np.asarray(cov)
 
 
-def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
-    """(metrics.py:146-200) d² = |μ₁−μ₂|² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^½)."""
+def _sqrtm_real(sigma1, sigma2):
+    """sqrtm(Σ₁Σ₂) if it comes out finite and (near-)real, else None."""
     from scipy import linalg
 
-    diff = mu1 - mu2
     covmean = linalg.sqrtm(sigma1.dot(sigma2))
     if not np.isfinite(covmean).all():
-        offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+        return None
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-            m = np.max(np.abs(covmean.imag))
-            raise ValueError(f"Imaginary component {m}")
+            return None
         covmean = covmean.real
+    return covmean
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
+    """(metrics.py:146-200) d² = |μ₁−μ₂|² + tr(Σ₁+Σ₂−2(Σ₁Σ₂)^½).
+
+    The reference jitters the product with eps·I when sqrtm goes singular
+    (non-finite). Near-singular products — routine when the feature dim
+    approaches the sample count, e.g. proxy features over small synthetic
+    sets — can instead surface as complex drift past the 1e-3 imaginary
+    tolerance; treat that the same way, escalating the jitter until the
+    root stabilizes (the jitter only enters the cross term, and at these
+    magnitudes perturbs tr((Σ₁Σ₂)^½) by O(eps·d) — small against any FID
+    worth acting on)."""
+    diff = mu1 - mu2
+    covmean = _sqrtm_real(sigma1, sigma2)
+    for jitter in (eps, 1e-4, 1e-2):
+        if covmean is not None:
+            break
+        offset = np.eye(sigma1.shape[0]) * jitter
+        covmean = _sqrtm_real(sigma1 + offset, sigma2 + offset)
+    if covmean is None:
+        raise ValueError("sqrtm(sigma1 @ sigma2) unstable even at jitter 1e-2")
     return float(
         diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
     )

@@ -71,6 +71,28 @@ def test_frechet_distance_properties(rng):
     np.testing.assert_allclose(d, 5.0, rtol=1e-6)  # |μ₁−μ₂|² with equal Σ
 
 
+def test_frechet_distance_near_singular_complex_drift():
+    """Rank-deficient covariances (fewer samples than feature dims — routine
+    for proxy features over small synthetic sets) can make scipy sqrtm drift
+    complex past the 1e-3 imaginary tolerance without ever going non-finite;
+    frechet_distance must resolve them via the escalating jitter instead of
+    raising (observed live: the proxy-FID probe's 512-dim features over 1500
+    synthetic-mnist images)."""
+    r = np.random.default_rng(0)
+    d, n, scale = 128, 40, 30.0
+    a = r.normal(size=(n, d)) * scale
+    b = r.normal(size=(n, d)) * scale * 1.2 + scale * 0.05
+    s1 = np.cov(a, rowvar=False)
+    s2 = np.cov(b, rowvar=False)
+    fd = frechet_distance(a.mean(0), s1, b.mean(0), s2)
+    assert np.isfinite(fd)
+    # Same-distribution control at the same rank deficiency stays far below
+    # the cross-distribution distance.
+    c = r.normal(size=(n, d)) * scale
+    fd_same = frechet_distance(a.mean(0), s1, c.mean(0), np.cov(c, rowvar=False))
+    assert np.isfinite(fd_same) and fd_same < fd
+
+
 def test_activation_statistics_match_numpy(rng):
     data = np.asarray(jax.random.normal(rng, (500, 6)))
     batches = [jnp.asarray(data[i : i + 100]) for i in range(0, 500, 100)]
