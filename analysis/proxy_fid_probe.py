@@ -71,7 +71,7 @@ def train_probe_run(seed, runs_dir, max_epochs):
     return setup["writer"].logdir
 
 
-def evaluate_ladder(run_dir, alphas, seed):
+def evaluate_ladder(run_dir, alphas, seed, fid_cfg=None, quality_batches=None):
     import jax
     import jax.numpy as jnp
 
@@ -83,11 +83,12 @@ def evaluate_ladder(run_dir, alphas, seed):
     from cmf_tpu.eval.inception import get_feature_fn
     from cmf_tpu.training import load_run
 
+    fid_cfg = fid_cfg or FID_CFG
     loaded = load_run(run_dir)
     density, variables = loaded["density"], loaded["variables"]
     trainer = loaded["trainer"]
-    feature_fn = get_feature_fn(FID_CFG)
-    fid_fn = get_fid_function(FID_CFG, trainer.train_loader, feature_fn)
+    feature_fn = get_feature_fn(fid_cfg)
+    fid_fn = get_fid_function(fid_cfg, trainer.train_loader, feature_fn)
 
     # Data-vs-data floors: what a perfect model's proxy-FID would read.
     x_train = np.asarray(trainer.train_loader.x)
@@ -122,6 +123,8 @@ def evaluate_ladder(run_dir, alphas, seed):
 
     bsz = 250
     n_batches = len(x_test) // bsz
+    if quality_batches is not None:
+        n_batches = min(n_batches, quality_batches)
     x_eval = jnp.asarray(x_test[: n_batches * bsz])
 
     rows = []
