@@ -154,15 +154,32 @@ def evaluate_ladder(run_dir, alphas, seed, fid_cfg=None, quality_batches=None):
     return rows, floors, fid_fn.feature_extractor
 
 
+def _midranks(v):
+    """Average (mid) ranks — ties share the mean of their rank positions,
+    matching scipy.stats.rankdata(method='average'). Double-argsort assigns
+    ties ARBITRARY distinct ranks and would silently bias rho when the FID
+    ladder plateaus (round-4 advisor finding)."""
+    v = np.asarray(v, dtype=np.float64)
+    order = np.argsort(v, kind="stable")
+    ranks = np.empty(len(v), dtype=np.float64)
+    i = 0
+    while i < len(v):
+        j = i
+        while j + 1 < len(v) and v[order[j + 1]] == v[order[i]]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0
+        i = j + 1
+    return ranks
+
+
 def spearman(x, y):
-    """Spearman rho over finite pairs (scipy-free; ladders are tiny)."""
+    """Spearman rho over finite pairs (scipy-free; ladders are tiny).
+    Ties are handled as midranks (scipy 'average' semantics)."""
     x, y = np.asarray(x, dtype=np.float64), np.asarray(y, dtype=np.float64)
     m = np.isfinite(x) & np.isfinite(y)
     if m.sum() < 3:
         return float("nan"), int(m.sum())
-    rx = np.argsort(np.argsort(x[m]))
-    ry = np.argsort(np.argsort(y[m]))
-    c = np.corrcoef(rx, ry)[0, 1]
+    c = np.corrcoef(_midranks(x[m]), _midranks(y[m]))[0, 1]
     return float(c), int(m.sum())
 
 

@@ -139,6 +139,28 @@ def run_tabular(dataset, lam, seed, args):
     return run_dir, results
 
 
+# Synthetic-image sizing (ab_battery's measured-affordable mnist protocol):
+# on the in-container synthetic fallbacks the full images-group config
+# (multiscale nets, 10k-image splits, 1000 epochs) costs ~40 min/run on the
+# v5e for zero extra evidence value — the synthetic table is a plumbing +
+# direction demonstration, not a real-data quality claim. Real-data runs
+# (--data-root, no --synthetic) keep the full reference protocol.
+_SYNTH_IMAGE_SIZING = {
+    "max_dataset_size": 1500,
+    "g_hidden_channels": [64] * 4,
+    "prior_hidden_channels": [32] * 4,
+    "use_fid": False,
+    # Image non-square valid loss is hardcoded 0 (reference experiment.py:
+    # 592-593, FID substitutes) — early stopping would freeze best_valid at
+    # the first validation epoch; train the fixed schedule, measure latest.
+    "early_stopping": False,
+    "max_epochs": 45,
+    "likelihood_warmup_start": 15,
+    "likelihood_warmup_end": 30,
+    "epochs_per_test": 60,
+}
+
+
 def run_image(dataset, arm, seed, args):
     from cmf_tpu.config import expand_grid, get_config
     from cmf_tpu.training import load_run, test_and_visualize, train
@@ -153,6 +175,8 @@ def run_image(dataset, arm, seed, args):
             "g_ij_loss": arm == "CMF",
         }
     )
+    if args.synthetic and not getattr(args, "ci_small", False):
+        config.update(_SYNTH_IMAGE_SIZING)
     config = expand_grid(config)[0]
     config["seed"] = seed
     _common(config, args, dataset, f"_{arm}_seed{seed}")

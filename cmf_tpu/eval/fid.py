@@ -66,13 +66,31 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     worth acting on)."""
     diff = mu1 - mu2
     covmean = _sqrtm_real(sigma1, sigma2)
+    used_jitter = 0.0
     for jitter in (eps, 1e-4, 1e-2):
         if covmean is not None:
             break
         offset = np.eye(sigma1.shape[0]) * jitter
         covmean = _sqrtm_real(sigma1 + offset, sigma2 + offset)
+        used_jitter = jitter
     if covmean is None:
         raise ValueError("sqrtm(sigma1 @ sigma2) unstable even at jitter 1e-2")
+    # Escalated jitter shifts the cross term by O(jitter·d) — comparable to
+    # the near-floor readings on high-dim features — and two checkpoints
+    # resolved at different jitter levels are scored on slightly different
+    # scales. Make that auditable (round-4 advisor finding): warn and record
+    # the level on the function itself for callers to stamp into metrics.
+    frechet_distance.last_jitter = used_jitter
+    if used_jitter > eps:
+        import warnings
+
+        warnings.warn(
+            f"frechet_distance needed jitter {used_jitter:g} (> eps {eps:g}) to "
+            f"stabilize sqrtm on a {sigma1.shape[0]}-dim covariance; the score "
+            "is perturbed by O(jitter*d) — treat near-floor comparisons made "
+            "at different jitter levels with care.",
+            stacklevel=2,
+        )
     return float(
         diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean)
     )
@@ -149,7 +167,10 @@ def get_fid_function(config, reference_loader, feature_fn=None):
                 sample_batches(density, variables, rng, num_samples, batch_size),
                 feature_fn,
             )
-        return frechet_distance(ref_mu, ref_cov, mu, cov)
+        score = frechet_distance(ref_mu, ref_cov, mu, cov)
+        # Auditable alongside the score (advisor round 4): 0.0 = no jitter.
+        fid.last_jitter = getattr(frechet_distance, "last_jitter", 0.0)
+        return score
 
     # Provenance stamp for every FID written downstream (metrics.json, test
     # scalars): which extractor produced the number. Proxy FIDs are relative

@@ -57,7 +57,19 @@ def _run_worker_pair(worker, extra_args=(), retries=1):
             )
             for i in range(2)
         ]
-        outs = [p.communicate(timeout=600) for p in procs]
+        try:
+            outs = [p.communicate(timeout=600) for p in procs]
+        except subprocess.TimeoutExpired:
+            # A rendezvous HANG (vs a fast "Connect timeout" error) is the
+            # same infra flake: kill both workers so nothing leaks into the
+            # rest of the suite, and treat it as retry-eligible (round-4
+            # advisor finding).
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            outs = [p.communicate() for p in procs]
+            last_err = "rendezvous hang: barrier timed out (workers killed)"
+            continue
         fails = [err for p, (_, err) in zip(procs, outs) if p.returncode != 0]
         if not fails:
             results = {}
