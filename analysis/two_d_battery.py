@@ -282,13 +282,15 @@ ORACLES = {
 }
 
 
-def run_one(dataset, seed, epochs, runs_dir):
+def run_one(dataset, seed, epochs, runs_dir, overrides=None, tail=None):
     from cmf_tpu.config import expand_grid, get_config
     from cmf_tpu.training import load_run, test_and_visualize, train
 
     config = get_config(dataset, "non-square", use_baseline=False)
     config = {"model": "non-square", "dataset": dataset, **config}
     config.update(PROTOCOL.get(dataset, {}))
+    if overrides:
+        config.update(overrides)
     config = expand_grid(config)[0]
     config["seed"] = seed
     if epochs is not None:
@@ -303,7 +305,7 @@ def run_one(dataset, seed, epochs, runs_dir):
                 config[k] = max(1, int(round(config[k] * scale)))
         config["max_epochs"] = epochs
     config["logdir_root"] = runs_dir
-    config["rundir_tail"] = f"_seed{seed}"
+    config["rundir_tail"] = tail if tail is not None else f"_seed{seed}"
 
     setup = train(config)
     run_dir = setup["writer"].logdir

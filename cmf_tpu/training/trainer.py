@@ -413,6 +413,12 @@ class Trainer:
             results["feature_extractor"] = getattr(
                 self.fid_function, "feature_extractor", "unknown"
             )
+            # sqrtm jitter the Fréchet computation needed (0.0 = none):
+            # escalated jitter perturbs the score by O(jitter·d), so record
+            # it alongside the number (round-4 advisor finding).
+            jitter = getattr(self.fid_function, "last_jitter", None)
+            if jitter:
+                results["fid_sqrtm_jitter"] = float(jitter)
         return results
 
     def test_ood(self, loader, write_tag):
