@@ -8,22 +8,58 @@ process boundary) and must match a single-process 8-device run of the same
 computation (SURVEY.md §4(d) distributed-equality strategy).
 """
 
+import contextlib
+import fcntl
 import json
 import os
 import socket
 import subprocess
 import sys
+import tempfile
 
 import numpy as np
 import pytest
 
 
-def _free_port():
-    s = socket.socket()
-    s.bind(("localhost", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+def _free_port(start=21817, end=21999):
+    """Probe-bind a coordinator port OUTSIDE the kernel's ephemeral range
+    (/proc/sys/net/ipv4/ip_local_port_range, default 32768-60999).
+
+    Why not bind(0): the probe socket must be CLOSED before the worker
+    process binds the port, and the worker takes seconds to import jax —
+    a TOCTOU window in which another bind(0) (the other multihost test
+    under xdist, or any outbound connect's ephemeral allocation) can be
+    handed the same port. The flake study (tests/_multihost_flake_study.py)
+    shows a same-port pair produces exactly the observed flake signatures:
+    CoordinationService errors and 300s+ rendezvous hangs. A fixed probed
+    range below the ephemeral window cannot be stolen by ephemeral
+    allocation, and _rendezvous_lock serializes our own tests."""
+    for port in range(start, end):
+        s = socket.socket()
+        try:
+            s.bind(("localhost", port))
+        except OSError:
+            continue
+        finally:
+            s.close()
+        return port
+    raise RuntimeError(f"no free port in {start}-{end}")
+
+
+@contextlib.contextmanager
+def _rendezvous_lock():
+    """Inter-process mutex over the whole worker-pair run: under xdist the
+    two multihost tests land in different pytest processes and their Gloo/
+    coordination-service rendezvous (port bind + connect) must not overlap —
+    concurrent pairs were the diagnosed source of the round-4 'infra flake'
+    (port collision via the _free_port TOCTOU)."""
+    path = os.path.join(tempfile.gettempdir(), "cmf_tpu_multihost.lock")
+    with open(path, "w") as f:
+        fcntl.flock(f, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(f, fcntl.LOCK_UN)
 
 
 def _worker_env():
@@ -35,17 +71,15 @@ def _worker_env():
     return env
 
 
-# Gloo's TCP rendezvous between the two workers can time out when the host is
-# saturated (e.g. the 4-way xdist run plus both workers compiling at once) —
-# an infra failure, not a product one. Retry once with a fresh port on those
-# signatures only; assertion failures and product crashes are never retried.
-_INFRA_PATTERNS = ("Gloo", "Connect timeout", "connect timed out", "barrier timed out")
+def _run_worker_pair(worker, extra_args=()):
+    """Launch the 2-process worker pair; return {process_index: result_dict}.
 
-
-def _run_worker_pair(worker, extra_args=(), retries=1):
-    """Launch the 2-process worker pair; return {process_index: result_dict}."""
-    last_err = None
-    for _ in range(retries + 1):
+    No retry: the round-4 'Gloo rendezvous flake' was diagnosed as a port
+    collision (see _free_port / _rendezvous_lock docstrings and
+    tests/_multihost_flake_study.py), which the probed port range + the
+    inter-process lock remove deterministically. A failure here is a real
+    failure and must surface."""
+    with _rendezvous_lock():
         port = _free_port()
         procs = [
             subprocess.Popen(
@@ -60,28 +94,25 @@ def _run_worker_pair(worker, extra_args=(), retries=1):
         try:
             outs = [p.communicate(timeout=600) for p in procs]
         except subprocess.TimeoutExpired:
-            # A rendezvous HANG (vs a fast "Connect timeout" error) is the
-            # same infra flake: kill both workers so nothing leaks into the
-            # rest of the suite, and treat it as retry-eligible (round-4
-            # advisor finding).
+            # Kill both workers so nothing leaks into the rest of the suite
+            # (round-4 advisor finding), then surface the hang.
             for p in procs:
                 if p.poll() is None:
                     p.kill()
             outs = [p.communicate() for p in procs]
-            last_err = "rendezvous hang: barrier timed out (workers killed)"
-            continue
-        fails = [err for p, (_, err) in zip(procs, outs) if p.returncode != 0]
-        if not fails:
-            results = {}
-            for out, _ in outs:
-                line = [l for l in out.splitlines() if l.startswith("{")][-1]
-                rec = json.loads(line)
-                results[rec["process"]] = rec
-            return results
-        last_err = fails[0]
-        if not any(pat in err for err in fails for pat in _INFRA_PATTERNS):
-            break  # real failure — surface immediately
-    raise AssertionError(f"worker failed:\n{last_err[-3000:]}")
+            raise AssertionError(
+                f"worker pair hung >600s on port {port}; stderr tails:\n"
+                + "\n---\n".join(err[-1500:] for _, err in outs)
+            )
+    fails = [err for p, (_, err) in zip(procs, outs) if p.returncode != 0]
+    if fails:
+        raise AssertionError(f"worker failed:\n{fails[0][-3000:]}")
+    results = {}
+    for out, _ in outs:
+        line = [l for l in out.splitlines() if l.startswith("{")][-1]
+        rec = json.loads(line)
+        results[rec["process"]] = rec
+    return results
 
 
 def test_two_process_mesh_matches_single_process():
