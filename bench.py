@@ -130,6 +130,36 @@ def _logdet_eval_rate(batch=400, d=21, big_d=43, n_steps=200):
     return batch * n_steps / elapsed / jax.device_count()
 
 
+def _fid_generation_rate(config, x_shape=(1, 28, 28)):
+    """samples/s of the PRODUCTION FID-generation pipeline (eval/fid.py):
+    the jitted lax.scan that samples num_fid_samples in test-batch chunks,
+    runs the feature extractor and accumulates mean/cov on device — one
+    dispatch end-to-end (round-4 verdict stretch #9: commit the number for
+    the path FID selection actually rides)."""
+    import jax
+
+    from cmf_tpu.config import get_schema
+    from cmf_tpu.eval.fid import get_fid_function
+    from cmf_tpu.eval.inception import get_feature_fn
+    from cmf_tpu.models import get_density
+
+    density = get_density(get_schema(config), x_shape=x_shape)
+    variables = density.init(jax.random.PRNGKey(0))
+    n = config["num_fid_samples"]
+    ref = np.random.default_rng(0).uniform(0, 255, (4, config["test_batch_size"], *x_shape))
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        feature_fn = get_feature_fn(config)
+        fid = get_fid_function(config, [jax.numpy.asarray(b, jax.numpy.float32) for b in ref], feature_fn)
+        fid(density, variables, jax.random.PRNGKey(1))  # compile + warm
+        t0 = time.perf_counter()
+        fid(density, variables, jax.random.PRNGKey(2))
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
 def main():
     import jax
 
@@ -163,6 +193,9 @@ def main():
         mnist_steps = max(10, n_steps // 2)
         extra["mnist_samples_per_s_per_chip"] = round(
             _train_throughput(mnist_cfg, (1, 28, 28), mnist_steps), 2
+        )
+        extra["mnist_fid_generation_samples_per_s"] = round(
+            _fid_generation_rate(mnist_cfg), 1
         )
 
     anchor_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_anchor.json")
