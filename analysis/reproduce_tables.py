@@ -117,9 +117,31 @@ def _common(config, args, dataset, tail):
     return config
 
 
+def _latest_run_dir(runs_dir, dataset, tail):
+    ddir = os.path.join(runs_dir, dataset)
+    runs = sorted(r for r in os.listdir(ddir) if r.endswith(tail))
+    assert runs, f"no run dir matching *{tail} under {ddir}"
+    return os.path.join(ddir, runs[-1])
+
+
+def _train_tolerating_nan(config, args, dataset, tail):
+    """Train; on a NaN/Inf loss, keep the run and evaluate its last saved
+    checkpoint — the reference's semantics (ignite TerminateOnNan stops the
+    ENGINE, ref trainer.py:139, and the run is still testable from
+    best_valid/latest; its λ=1 rows' huge variance is exactly such runs).
+    Returns (run_dir, nan_during_training)."""
+    from cmf_tpu.training import train
+
+    try:
+        setup = train(config)
+        return setup["writer"].logdir, False
+    except FloatingPointError:
+        return _latest_run_dir(args.runs_dir, dataset, tail), True
+
+
 def run_tabular(dataset, lam, seed, args):
     from cmf_tpu.config import expand_grid, get_config
-    from cmf_tpu.training import test_and_visualize, train
+    from cmf_tpu.training import test_and_visualize
 
     config = get_config(dataset, "non-square", use_baseline=False)
     config = {"model": "non-square", "dataset": dataset, **config}
@@ -127,11 +149,13 @@ def run_tabular(dataset, lam, seed, args):
     config["g_ij_loss"] = lam > 0
     config = expand_grid(config)[0]
     config["seed"] = seed
-    _common(config, args, dataset, f"_l{lam:g}_seed{seed}")
+    tail = f"_l{lam:g}_seed{seed}"
+    _common(config, args, dataset, tail)
 
-    setup = train(config)
-    run_dir = setup["writer"].logdir
+    run_dir, nan = _train_tolerating_nan(config, args, dataset, tail)
     results = test_and_visualize(config, run_dir, overwrite=True, test_fid=True)
+    if nan:
+        results["nan_during_training"] = True
     results.update({"lambda": lam, "method": method_name(lam)})
     record_provenance(results)
     with open(os.path.join(run_dir, "metrics.json"), "w") as f:
@@ -179,12 +203,14 @@ def run_image(dataset, arm, seed, args):
         config.update(_SYNTH_IMAGE_SIZING)
     config = expand_grid(config)[0]
     config["seed"] = seed
-    _common(config, args, dataset, f"_{arm}_seed{seed}")
+    tail = f"_{arm}_seed{seed}"
+    _common(config, args, dataset, tail)
 
-    setup = train(config)
-    run_dir = setup["writer"].logdir
+    run_dir, nan = _train_tolerating_nan(config, args, dataset, tail)
     results = test_and_visualize(config, run_dir, overwrite=True, test_fid=True)
     results["method"] = arm
+    if nan:
+        results["nan_during_training"] = True
     record_provenance(results)
 
     loaded = load_run(run_dir)
@@ -228,8 +254,8 @@ def render(rows, args):
     lines = ["## Tabular raw-feature Fréchet vs reference table",
              "(reference analysis/tabular_table.csv; 'filtered' applies the "
              "reference's FID>1.5 run drop)", "",
-             "| dataset | method | ours (all) | ours (filtered) | reference | n |",
-             "|---|---|---|---|---|---|"]
+             "| dataset | method | ours (all) | ours (filtered) | reference | n | nan-runs |",
+             "|---|---|---|---|---|---|---|"]
     for dataset in args.datasets:
         for lam in args.lambdas:
             method = method_name(lam)
@@ -237,11 +263,12 @@ def render(rows, args):
             fids = [r.get("fid") for r in runs if r.get("fid") is not None]
             m_all, s_all, n = _mean_stderr(fids)
             m_f, s_f, _ = _mean_stderr([v for v in fids if v is not None and v <= 1.5])
+            n_nan = sum(1 for r in runs if r.get("nan_during_training"))
             ref = BASELINE_TABULAR.get((dataset, lam))
             ref_s = f"{ref[0]:.3f} ± {ref[1]:.3f}" if ref else "—"
             lines.append(
                 f"| {dataset} | {method} | {m_all:.3f} ± {s_all:.3f} | "
-                f"{m_f:.3f} ± {s_f:.3f} | {ref_s} | {n} |"
+                f"{m_f:.3f} ± {s_f:.3f} | {ref_s} | {n} | {n_nan} |"
             )
     lines += ["", "## Image FID + MACS vs reference README.md:224-233", "",
               "| dataset | method | FID | MACS | reference MACS | n |",
