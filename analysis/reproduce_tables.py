@@ -207,7 +207,12 @@ def run_image(dataset, arm, seed, args):
     _common(config, args, dataset, tail)
 
     run_dir, nan = _train_tolerating_nan(config, args, dataset, tail)
-    results = test_and_visualize(config, run_dir, overwrite=True, test_fid=True)
+    # _SYNTH_IMAGE_SIZING trains with use_fid=False (no proxy-FID-as-
+    # validation); the TABLE still wants the test-time FID — re-enable it
+    # for the test pass only (honestly stamped proxy when no weights).
+    results = test_and_visualize(
+        {**config, "use_fid": True}, run_dir, overwrite=True, test_fid=True
+    )
     results["method"] = arm
     if nan:
         results["nan_during_training"] = True
