@@ -160,20 +160,45 @@ def _torchvision_raw(dataset_name, train, data_root):
 
 
 def _synthetic_raw(dataset_name, train, seed=0, max_n=10_000):
-    """Structured deterministic uint8 stand-in (gaussian blobs over gradient
-    backgrounds) with the real dataset's shape."""
+    """Structured deterministic uint8 stand-in with the real dataset's shape.
+
+    Datasets must be DISTINGUISHABLE distributions, not just shapes: the OOD
+    experiment (reference experiment.py:236-313) scores a model trained on
+    one dataset against its mapped counterpart (mnist↔fashion-mnist), which
+    is meaningless if the stand-ins are identical. mnist keeps the original
+    gaussian-blob family bit-for-bit (round-4 battery evidence anchors to
+    it); fashion-mnist draws a structurally different family (rectangular
+    'garment' silhouettes with periodic stripes); every other dataset mixes
+    a stable per-name offset into its stream so no two datasets coincide."""
     c, h, w, n_train, n_test = DATASET_SHAPES[dataset_name]
     n = min(n_train if train else n_test, max_n)
-    rng = np.random.default_rng(seed + (0 if train else 1))
+    name_offset = (
+        0 if dataset_name == "mnist"
+        else int.from_bytes(dataset_name.encode()[-4:], "little") % 1_000_003
+    )
+    rng = np.random.default_rng(seed + (0 if train else 1) + name_offset)
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
     images = np.empty((n, c, h, w), np.uint8)
     labels = rng.integers(0, 10, n)
+    striped = dataset_name == "fashion-mnist"
     for i in range(n):
-        cx, cy = rng.uniform(0.2, 0.8, 2) * (w, h)
-        sig = rng.uniform(0.08, 0.25) * h
-        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
-        base = rng.uniform(0, 0.3) + 0.2 * (xx / w) * rng.uniform(0, 1)
-        img = np.clip(base + blob * rng.uniform(0.5, 1.0), 0, 1)
+        if striped:
+            # axis-aligned silhouette + stripes: different support geometry
+            # and frequency content from the blob family
+            x0, y0 = rng.uniform(0.1, 0.4, 2) * (w, h)
+            x1, y1 = rng.uniform(0.6, 0.9, 2) * (w, h)
+            box = ((xx >= x0) & (xx <= x1) & (yy >= y0) & (yy <= y1)).astype(np.float32)
+            period = rng.uniform(2.0, 6.0)
+            phase = rng.uniform(0, 2 * np.pi)
+            stripes = 0.5 + 0.5 * np.sin(2 * np.pi * yy / period + phase)
+            base = rng.uniform(0, 0.2) + 0.15 * (yy / h) * rng.uniform(0, 1)
+            img = np.clip(base + box * stripes * rng.uniform(0.5, 1.0), 0, 1)
+        else:
+            cx, cy = rng.uniform(0.2, 0.8, 2) * (w, h)
+            sig = rng.uniform(0.08, 0.25) * h
+            blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * sig**2)))
+            base = rng.uniform(0, 0.3) + 0.2 * (xx / w) * rng.uniform(0, 1)
+            img = np.clip(base + blob * rng.uniform(0.5, 1.0), 0, 1)
         for ch in range(c):
             scale = rng.uniform(0.6, 1.0)
             images[i, ch] = (img * scale * 255).astype(np.uint8)
