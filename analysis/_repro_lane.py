@@ -52,6 +52,11 @@ def main():
     ap.add_argument("--only", choices=["tab", "img"], default=None,
                     help="restrict this lane to one task kind (e.g. keep "
                          "conv-heavy image runs off the CPU lane)")
+    ap.add_argument("--max-tasks", type=int, default=None,
+                    help="exit cleanly after claiming this many tasks — lets "
+                         "a lane run in bounded chunks so the TPU can be "
+                         "handed to interlude jobs between chunks (killed "
+                         "TPU clients can wedge the relay)")
     args = ap.parse_args()
     _setup_compile_cache()
 
@@ -64,14 +69,20 @@ def main():
         tasks = [ln.strip() for ln in f
                  if ln.strip() and not ln.strip().startswith("#")]
 
+    n_claimed = 0
     for task in tasks:
         if args.only and not task.startswith(args.only + ":"):
             continue
+        if args.max_tasks is not None and n_claimed >= args.max_tasks:
+            print(json.dumps({"lane_exit": "max_tasks", "claimed": n_claimed}),
+                  flush=True)
+            break
         tid = task.replace(":", "_").replace(".", "p")
         try:
             os.mkdir(os.path.join(claims, tid))  # atomic claim
         except FileExistsError:
             continue
+        n_claimed += 1
         t0 = time.time()
         try:
             kind, dataset, mid, seed = task.split(":")
