@@ -92,9 +92,26 @@ class _DenseDecodeProgram:
         self.has_conv = has_conv
 
     # ----------------------------------------------------- flat-MLP helpers
+    #
+    # Flat stages avoid slice+concat group recombination entirely: the v5e
+    # per-op profile (PROFILE_tabular_r5.json) showed 34.7% of the flagship
+    # step's device time in copy-done ops — the (d, B, H) tangent-half copies
+    # each `concatenate([primal_out, tangent_out], axis=0)` materialises (and
+    # their backward slices). Every group-dependent op is instead written as
+    # ONE whole-group formula gated by a (d+1, 1, 1) primal mask, which XLA
+    # fuses into the surrounding elementwise work with no relayout traffic.
+
+    @staticmethod
+    def _mask0(d, dtype):
+        """(d+1, 1, 1) indicator of the primal group."""
+        return jnp.zeros((d + 1, 1, 1), dtype).at[0].set(1.0)
+
     @staticmethod
     def _aug_act(U, activation):
-        """Augmented activation: primal group gets σ, tangents σ′(primal)⊙t."""
+        """Augmented activation: primal group gets σ, tangents σ′(primal)⊙t.
+        σ is evaluated on the primal slice only; both groups recombine through
+        the mask broadcast (no concatenate)."""
+        m0 = _DenseDecodeProgram._mask0(U.shape[0] - 1, U.dtype)
         U0 = U[:1]
         if activation is jnp.tanh:
             a = jnp.tanh(U0)
@@ -102,12 +119,13 @@ class _DenseDecodeProgram:
         else:  # relu
             a = jax.nn.relu(U0)
             deriv = (U0 > 0).astype(U.dtype)
-        return jnp.concatenate([a, deriv * U[1:]], axis=0)
+        return m0 * a + (1.0 - m0) * deriv * U
 
     @staticmethod
     def _primal_bias(b, d):
-        """(d+1, 1, H) bias tensor that only touches the primal group."""
-        return jnp.concatenate([b[None], jnp.zeros((d, b.shape[0]), b.dtype)], axis=0)[:, None]
+        """(d+1, 1, H) bias that only touches the primal group (fuses as a
+        broadcast-multiply instead of materialising a zero-padded tensor)."""
+        return _DenseDecodeProgram._mask0(d, b.dtype) * b[None, None]
 
     def _acl_weights(self, step, params):
         """Fold the channel selection into zero-padded first/last weights."""
@@ -167,10 +185,11 @@ class _DenseDecodeProgram:
         H = self._aug_act(H, step["activation"])
         S = _matmul(H, ws_e) + self._primal_bias(bs_e, d)
         L = _matmul(H, wl_e) + self._primal_bias(bl_e, d)
+        # One whole-group inverse-coupling formula (primal: e^{−s}x − t;
+        # tangent: e^{−s}(t_x − x₀·t_s) − t_t), gated by the primal mask.
+        m0 = self._mask0(d, X.dtype)
         E0 = jnp.exp(-L[:1])
-        out0 = E0 * X[:1] - S[:1]
-        outt = E0 * (X[1:] - X[:1] * L[1:]) - S[1:]
-        return jnp.concatenate([out0, outt], axis=0)
+        return E0 * (X - X[:1] * ((1.0 - m0) * L)) - S
 
     # --------------------------------------------------- conv-stage helpers
     @staticmethod
@@ -285,9 +304,9 @@ class _DenseDecodeProgram:
                 if bij.apply_affine:
                     scale = scale * jnp.exp(-p["log_scale"])
                     shift = shift - p["shift"] * scale
-                X = jnp.concatenate(
-                    [X[:1] * scale + shift, X[1:] * scale], axis=0
-                )
+                # Whole-group affine: the shift touches only the primal group.
+                m0 = self._mask0(d, X.dtype).reshape((d + 1,) + (1,) * (X.ndim - 1))
+                X = X * scale + m0 * shift
             elif kind == "perm":
                 s = _fetch(state, step["path"] + ("bijection",))
                 X = jnp.take(X, s["inverse_permutation"], axis=step["axis"])
