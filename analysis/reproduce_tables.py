@@ -229,21 +229,26 @@ def run_image(dataset, arm, seed, args):
 
 
 def collect(runs_dir, datasets):
-    """(dataset, method) -> [metrics dicts] from run dirs."""
+    """(dataset, method) -> [metrics dicts] from one or more runs dirs.
+
+    ``runs_dir`` may be a single path or a list — the aggregation step merges
+    e.g. the committed round-4 partial sweep (analysis/repro_synth_r04, same
+    protocol: --synthetic --epochs 300) with the round-5 queue's runs."""
     rows = {}
-    for dataset in datasets:
-        ddir = os.path.join(runs_dir, dataset)
-        if not os.path.isdir(ddir):
-            continue
-        for run in sorted(os.listdir(ddir)):
-            mpath = os.path.join(ddir, run, "metrics.json")
-            if not os.path.exists(mpath):
+    for rdir in [runs_dir] if isinstance(runs_dir, str) else runs_dir:
+        for dataset in datasets:
+            ddir = os.path.join(rdir, dataset)
+            if not os.path.isdir(ddir):
                 continue
-            with open(mpath) as f:
-                results = json.load(f)
-            method = results.get("method")
-            if method:
-                rows.setdefault((dataset, method), []).append(results)
+            for run in sorted(os.listdir(ddir)):
+                mpath = os.path.join(ddir, run, "metrics.json")
+                if not os.path.exists(mpath):
+                    continue
+                with open(mpath) as f:
+                    results = json.load(f)
+                method = results.get("method")
+                if method:
+                    rows.setdefault((dataset, method), []).append(results)
     return rows
 
 
@@ -312,6 +317,9 @@ def main(argv=None):
     ap.add_argument("--image-datasets", nargs="*", default=IMG_DATASETS)
     ap.add_argument("--lambdas", nargs="*", type=float, default=LAMBDAS)
     ap.add_argument("--runs-dir", default="runs_repro")
+    ap.add_argument("--extra-runs-dirs", nargs="*", default=[],
+                    help="additional runs dirs merged at aggregation time "
+                         "(e.g. analysis/repro_synth_r04 — same protocol)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--aggregate", action="store_true")
     ap.add_argument("--ci-small", action="store_true",
@@ -341,7 +349,7 @@ def main(argv=None):
                         "macs": results.get("canonical_macs")}), flush=True)
 
     all_datasets = list(args.datasets) + list(args.image_datasets)
-    rows = collect(args.runs_dir, all_datasets)
+    rows = collect([args.runs_dir] + list(args.extra_runs_dirs), all_datasets)
     md = render(rows, args)
     print(md)
     if args.out:
