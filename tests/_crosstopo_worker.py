@@ -77,6 +77,15 @@ def main():
         flush=True,
     )
 
+    # Arrive at the exit-time coordination-service shutdown barrier TOGETHER.
+    # Process 0 does host-side work process 1 doesn't (orbax checkpoint +
+    # metadata writes, the fingerprint device_get); on a loaded CI host that
+    # skew can exceed the service's shutdown deadline, failing the pair with
+    # "Shutdown barrier timed out: 1/2" even though both workers succeeded.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("crosstopo_worker_exit")
+
 
 if __name__ == "__main__":
     main()

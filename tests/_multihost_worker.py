@@ -79,6 +79,13 @@ def main():
         "global_devices": jax.device_count(),
     }), flush=True)
 
+    # Reach the exit-time shutdown barrier together (see _crosstopo_worker):
+    # asymmetric host-side tails under CI load can exceed the coordination
+    # service's shutdown deadline and fail an otherwise-successful pair.
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices("multihost_worker_exit")
+
 
 if __name__ == "__main__":
     main()
