@@ -134,6 +134,11 @@ def main(argv=None):
     ap.add_argument("--runs-dir", default="runs_sqflow")
     ap.add_argument("--seeds", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--datasets", nargs="*", default=None,
+                    help="restrict this invocation's runs to these datasets "
+                         "(lets a TPU and a CPU lane split the battery; "
+                         "aggregation always reads the full runs dir)")
+    ap.add_argument("--arms", nargs="*", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--aggregate", action="store_true")
     args = ap.parse_args(argv)
@@ -141,7 +146,11 @@ def main(argv=None):
 
     if not args.aggregate:
         for dataset in DATASETS:
+            if args.datasets and dataset not in args.datasets:
+                continue
             for label, model, use_baseline in ARMS:
+                if args.arms and label not in args.arms:
+                    continue
                 for seed in range(args.seeds):
                     # resumable: skip runs that already produced metrics
                     existing = [
